@@ -1,0 +1,20 @@
+"""Test configuration.
+
+Tests run on CPU with a virtual 8-device mesh (for sharding tests) and with
+x64 enabled so the physics engine can be validated against the float64 MuJoCo
+oracle. The TPU runtime itself uses f32/bf16; dtype is a build-time knob.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Virtual 8-device CPU mesh for multi-chip sharding tests.
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax
+
+jax.config.update("jax_enable_x64", True)
