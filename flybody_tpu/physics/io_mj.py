@@ -1,0 +1,358 @@
+"""Host-side model compilation: MuJoCo mjModel -> TPU-native Model pytree.
+
+The framework authors models programmatically (see flybody_tpu.models) and
+compiles them ONCE on the host with the MuJoCo compiler (a C library, used
+here the way a build toolchain is used). Everything downstream — stepping,
+batching, sharding — is this repo's pure-JAX engine; mjModel never crosses
+the device boundary.
+
+This mirrors the role dm_control's mjcf compile step plays for the reference
+(reference: vnl_ray/fruitfly/fruitfly.py:162) but removes it from the episode
+loop entirely: per-episode variation is data, never model surgery, so there
+is exactly one XLA compilation per task family (SURVEY.md §7 design delta 1).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from flybody_tpu.physics import types as T
+from flybody_tpu.physics.types import Model, Data, Contact, Option, Static
+
+
+_SUPPORTED_GEOMS = {
+    T.GEOM_PLANE, T.GEOM_HFIELD, T.GEOM_SPHERE, T.GEOM_CAPSULE,
+    T.GEOM_ELLIPSOID, T.GEOM_CYLINDER, T.GEOM_BOX, T.GEOM_MESH,
+}
+
+# Max contacts generated per candidate pair, keyed by (type1, type2) with
+# type1 <= type2 (plane/hfield always first by construction below).
+_PAIR_NCON = {
+    (T.GEOM_PLANE, T.GEOM_SPHERE): 1,
+    (T.GEOM_PLANE, T.GEOM_CAPSULE): 2,
+    (T.GEOM_PLANE, T.GEOM_ELLIPSOID): 1,
+    (T.GEOM_PLANE, T.GEOM_CYLINDER): 3,
+    (T.GEOM_PLANE, T.GEOM_BOX): 4,
+    (T.GEOM_HFIELD, T.GEOM_SPHERE): 1,
+    (T.GEOM_HFIELD, T.GEOM_CAPSULE): 2,
+    (T.GEOM_SPHERE, T.GEOM_SPHERE): 1,
+    (T.GEOM_SPHERE, T.GEOM_CAPSULE): 1,
+    (T.GEOM_SPHERE, T.GEOM_ELLIPSOID): 1,
+    (T.GEOM_SPHERE, T.GEOM_BOX): 1,
+    (T.GEOM_CAPSULE, T.GEOM_CAPSULE): 1,
+    (T.GEOM_CAPSULE, T.GEOM_ELLIPSOID): 1,
+    (T.GEOM_CAPSULE, T.GEOM_BOX): 2,
+}
+
+
+def _names(m) -> dict:
+    """Extract name -> id tables from mjModel."""
+    import mujoco
+
+    out: dict[str, dict[str, int]] = {}
+    for kind, n in [
+        ("body", m.nbody), ("joint", m.njnt), ("geom", m.ngeom),
+        ("site", m.nsite), ("actuator", m.nu), ("tendon", m.ntendon),
+        ("sensor", m.nsensor), ("camera", m.ncam),
+    ]:
+        obj = getattr(mujoco.mjtObj, "mjOBJ_" + kind.upper())
+        table = {}
+        for i in range(n):
+            name = mujoco.mj_id2name(m, obj, i)
+            if name:
+                table[name] = i
+        out[kind] = table
+    return out
+
+
+def _tree_levels(parentid: np.ndarray) -> tuple:
+    """Group body ids (excluding world=0) by depth for level-parallel FK."""
+    nbody = len(parentid)
+    depth = np.zeros(nbody, dtype=np.int32)
+    for i in range(1, nbody):
+        depth[i] = depth[parentid[i]] + 1
+    levels = []
+    for d in range(1, depth.max() + 1 if nbody > 1 else 1):
+        ids = np.nonzero(depth == d)[0]
+        if len(ids):
+            levels.append(Static(ids.astype(np.int32)))
+    return tuple(levels)
+
+
+def _body_dof_mask(m) -> np.ndarray:
+    """(nbody, nv) bool: True where the dof belongs to the body or one of
+    its kinematic ancestors (i.e. the dof moves the body)."""
+    mask = np.zeros((m.nbody, m.nv), dtype=bool)
+    for b in range(m.nbody):
+        cur = b
+        while cur != 0:
+            adr, num = m.body_dofadr[cur], m.body_dofnum[cur]
+            mask[b, adr:adr + num] = True
+            cur = m.body_parentid[cur]
+    return mask
+
+
+def _ancestor_mask(dof_parentid: np.ndarray, nv: int) -> np.ndarray:
+    """mask[i, j] == True iff dof j is an ancestor of dof i (or j == i)."""
+    mask = np.zeros((nv, nv), dtype=bool)
+    for i in range(nv):
+        j = i
+        while j >= 0:
+            mask[i, j] = True
+            j = dof_parentid[j]
+    return mask
+
+
+def _collision_pairs(m) -> tuple[np.ndarray, np.ndarray, list]:
+    """Static candidate geom pairs passing MuJoCo's collision filters."""
+    geom1, geom2 = [], []
+    weld = m.body_weldid
+    weldparent = np.array([weld[m.body_parentid[weld[b]]]
+                           for b in range(m.nbody)])
+    excluded = set()
+    for e in range(m.nexclude):
+        sig = m.exclude_signature[e]
+        excluded.add((sig >> 16, sig & 0xFFFF))
+    for i in range(m.ngeom):
+        for j in range(i + 1, m.ngeom):
+            t1, t2 = int(m.geom_type[i]), int(m.geom_type[j])
+            g1, g2 = (i, j)
+            if t1 > t2:
+                g1, g2, t1, t2 = j, i, t2, t1
+            if (t1, t2) not in _PAIR_NCON:
+                continue
+            b1, b2 = int(m.geom_bodyid[g1]), int(m.geom_bodyid[g2])
+            con1, aff1 = int(m.geom_contype[g1]), int(m.geom_conaffinity[g1])
+            con2, aff2 = int(m.geom_contype[g2]), int(m.geom_conaffinity[g2])
+            if not ((con1 & aff2) or (con2 & aff1)):
+                continue
+            w1, w2 = int(weld[b1]), int(weld[b2])
+            if w1 == w2:
+                continue
+            wp1, wp2 = int(weldparent[b1]), int(weldparent[b2])
+            if (w1 == wp2 and w1 != 0) or (w2 == wp1 and w2 != 0):
+                continue
+            bb = (min(b1, b2), max(b1, b2))
+            if bb in excluded or (bb[1], bb[0]) in excluded:
+                continue
+            geom1.append(g1)
+            geom2.append(g2)
+    types = [(int(m.geom_type[a]), int(m.geom_type[b]))
+             for a, b in zip(geom1, geom2)]
+    return (np.array(geom1, dtype=np.int32),
+            np.array(geom2, dtype=np.int32), types)
+
+
+_SENSOR_MAP = {}  # filled lazily from mujoco enums
+
+
+def _sensor_code(mj_type: int) -> int:
+    import mujoco
+
+    if not _SENSOR_MAP:
+        S = mujoco.mjtSensor
+        _SENSOR_MAP.update({
+            S.mjSENS_ACCELEROMETER: T.SENS_ACCELEROMETER,
+            S.mjSENS_GYRO: T.SENS_GYRO,
+            S.mjSENS_VELOCIMETER: T.SENS_VELOCIMETER,
+            S.mjSENS_FORCE: T.SENS_FORCE,
+            S.mjSENS_TOUCH: T.SENS_TOUCH,
+            S.mjSENS_JOINTPOS: T.SENS_JOINTPOS,
+            S.mjSENS_JOINTVEL: T.SENS_JOINTVEL,
+            S.mjSENS_ACTUATORFRC: T.SENS_ACTUATORFRC,
+            S.mjSENS_FRAMEPOS: T.SENS_FRAMEPOS,
+            S.mjSENS_FRAMEQUAT: T.SENS_FRAMEQUAT,
+            S.mjSENS_SUBTREECOM: T.SENS_SUBTREECOM,
+            S.mjSENS_TENDONPOS: T.SENS_TENDONPOS,
+            S.mjSENS_TENDONVEL: T.SENS_TENDONVEL,
+        })
+    code = _SENSOR_MAP.get(mj_type)
+    if code is None:
+        raise NotImplementedError(f"sensor type {mj_type}")
+    return code
+
+
+def put_model(m, dtype=jnp.float32) -> Model:
+    """Convert a compiled mjModel into the engine's Model pytree."""
+    import mujoco
+
+    for g in range(m.ngeom):
+        if int(m.geom_type[g]) not in _SUPPORTED_GEOMS:
+            raise NotImplementedError(f"geom type {m.geom_type[g]}")
+
+    a = lambda x: jnp.asarray(np.asarray(x), dtype=dtype)
+    s = lambda x: Static(np.asarray(x))
+
+    pair_g1, pair_g2, pair_types = _collision_pairs(m)
+    ncon_max = int(sum(_PAIR_NCON[t] for t in pair_types))
+    # condim per contact slot: max of the two geoms' condim (priority rule).
+    con_dim = []
+    for (g1, g2) in zip(pair_g1, pair_g2):
+        p1, p2 = int(m.geom_priority[g1]), int(m.geom_priority[g2])
+        if p1 > p2:
+            cd = int(m.geom_condim[g1])
+        elif p2 > p1:
+            cd = int(m.geom_condim[g2])
+        else:
+            cd = max(int(m.geom_condim[g1]), int(m.geom_condim[g2]))
+        t = (int(m.geom_type[g1]), int(m.geom_type[g2]))
+        con_dim += [cd] * _PAIR_NCON[t]
+
+    n_limit = int(m.jnt_limited.sum())
+    nefc = n_limit + int(sum(con_dim))
+
+    integ = {0: T.EULER, 1: T.RK4, 2: T.IMPLICIT}.get(int(m.opt.integrator),
+                                                      T.EULER)
+    has_fluid = bool(m.opt.density > 0 or m.opt.viscosity > 0
+                     or np.any(m.opt.wind))
+
+    opt = Option(
+        timestep=a(m.opt.timestep), gravity=a(m.opt.gravity),
+        density=a(m.opt.density), viscosity=a(m.opt.viscosity),
+        wind=a(m.opt.wind), impratio=a(m.opt.impratio),
+        tolerance=a(m.opt.tolerance),
+        integrator=integ, cone=int(m.opt.cone),
+        solver_iterations=min(int(m.opt.iterations), 32),
+        ls_iterations=min(int(m.opt.ls_iterations), 16),
+        noslip_iterations=int(m.opt.noslip_iterations),
+        has_fluid=has_fluid,
+    )
+
+    wrap_jntid = np.zeros(m.nwrap, dtype=np.int32)
+    for w in range(m.nwrap):
+        if m.wrap_type[w] != mujoco.mjtWrap.mjWRAP_JOINT:
+            raise NotImplementedError("only fixed tendons supported")
+        wrap_jntid[w] = m.wrap_objid[w]
+
+    sensor_type = np.array([_sensor_code(int(t)) for t in m.sensor_type],
+                           dtype=np.int32)
+
+    return Model(
+        nq=int(m.nq), nv=int(m.nv), nu=int(m.nu), na=int(m.na),
+        nbody=int(m.nbody), njnt=int(m.njnt), ngeom=int(m.ngeom),
+        nsite=int(m.nsite), ntendon=int(m.ntendon), nwrap=int(m.nwrap),
+        nsensor=int(m.nsensor), nsensordata=int(m.nsensordata),
+        ncon_max=ncon_max, nefc=nefc,
+        nhfield=int(m.nhfield),
+        hfield_nrow=int(m.hfield_nrow[0]) if m.nhfield else 0,
+        hfield_ncol=int(m.hfield_ncol[0]) if m.nhfield else 0,
+        body_parentid=s(m.body_parentid), body_rootid=s(m.body_rootid),
+        body_jntadr=s(m.body_jntadr), body_jntnum=s(m.body_jntnum),
+        body_dofadr=s(m.body_dofadr), body_dofnum=s(m.body_dofnum),
+        body_geomadr=s(m.body_geomadr), body_geomnum=s(m.body_geomnum),
+        body_tree=_tree_levels(m.body_parentid),
+        jnt_type=s(m.jnt_type), jnt_qposadr=s(m.jnt_qposadr),
+        jnt_dofadr=s(m.jnt_dofadr), jnt_bodyid=s(m.jnt_bodyid),
+        jnt_limited=s(m.jnt_limited),
+        dof_bodyid=s(m.dof_bodyid), dof_jntid=s(m.dof_jntid),
+        dof_parentid=s(m.dof_parentid),
+        ancestor_mask=s(_ancestor_mask(m.dof_parentid, m.nv)),
+        body_dof_mask=s(_body_dof_mask(m)),
+        geom_type=s(m.geom_type), geom_bodyid=s(m.geom_bodyid),
+        geom_condim=s(m.geom_condim), geom_priority=s(m.geom_priority),
+        site_bodyid=s(m.site_bodyid),
+        ten_adr=s(m.tendon_adr), ten_num=s(m.tendon_num),
+        wrap_jntid=s(wrap_jntid),
+        actuator_trntype=s(m.actuator_trntype),
+        actuator_dyntype=s(m.actuator_dyntype),
+        actuator_gaintype=s(m.actuator_gaintype),
+        actuator_biastype=s(m.actuator_biastype),
+        actuator_trnid=s(m.actuator_trnid),
+        actuator_actadr=s(m.actuator_actadr),
+        actuator_ctrllimited=s(m.actuator_ctrllimited),
+        actuator_forcelimited=s(m.actuator_forcelimited),
+        sensor_type=s(sensor_type), sensor_objid=s(m.sensor_objid),
+        sensor_adr=s(m.sensor_adr), sensor_dim=s(m.sensor_dim),
+        pair_geom1=s(pair_g1), pair_geom2=s(pair_g2),
+        pair_type=Static(np.array(pair_types, dtype=np.int32).reshape(-1, 2)),
+        con_dim=s(np.array(con_dim, dtype=np.int32)),
+        names=_names(m),
+        opt=opt,
+        qpos0=a(m.qpos0), qpos_spring=a(m.qpos_spring),
+        body_pos=a(m.body_pos), body_quat=a(m.body_quat),
+        body_ipos=a(m.body_ipos), body_iquat=a(m.body_iquat),
+        body_mass=a(m.body_mass), body_subtreemass=a(m.body_subtreemass),
+        body_inertia=a(m.body_inertia),
+        body_invweight0=a(m.body_invweight0),
+        jnt_pos=a(m.jnt_pos), jnt_axis=a(m.jnt_axis),
+        jnt_range=a(m.jnt_range), jnt_stiffness=a(m.jnt_stiffness),
+        jnt_solref=a(m.jnt_solref), jnt_solimp=a(m.jnt_solimp),
+        jnt_margin=a(m.jnt_margin),
+        dof_armature=a(m.dof_armature), dof_damping=a(m.dof_damping),
+        dof_frictionloss=a(m.dof_frictionloss),
+        dof_invweight0=a(m.dof_invweight0),
+        geom_pos=a(m.geom_pos), geom_quat=a(m.geom_quat),
+        geom_size=a(m.geom_size), geom_friction=a(m.geom_friction),
+        geom_solref=a(m.geom_solref), geom_solimp=a(m.geom_solimp),
+        geom_solmix=a(m.geom_solmix),
+        geom_margin=a(m.geom_margin), geom_gap=a(m.geom_gap),
+        geom_fluid=a(m.geom_fluid),
+        site_pos=a(m.site_pos), site_quat=a(m.site_quat),
+        site_size=a(m.site_size),
+        ten_stiffness=a(m.tendon_stiffness), ten_damping=a(m.tendon_damping),
+        ten_lengthspring=a(m.tendon_lengthspring),
+        ten_invweight0=a(m.tendon_invweight0),
+        wrap_coef=a(m.wrap_prm),
+        actuator_dynprm=a(m.actuator_dynprm),
+        actuator_gainprm=a(m.actuator_gainprm),
+        actuator_biasprm=a(m.actuator_biasprm),
+        actuator_ctrlrange=a(m.actuator_ctrlrange),
+        actuator_forcerange=a(m.actuator_forcerange),
+        actuator_gear=a(m.actuator_gear),
+        actuator_acc0=a(m.actuator_acc0),
+        hfield_data=(a(np.concatenate([
+            m.hfield_data[m.hfield_adr[i]:
+                          m.hfield_adr[i] + m.hfield_nrow[i] * m.hfield_ncol[i]
+                          ].reshape(m.hfield_nrow[i], m.hfield_ncol[i])[None]
+            for i in range(m.nhfield)]))
+            if m.nhfield else jnp.zeros((0, 0, 0), dtype=dtype)),
+        hfield_size=(a(m.hfield_size) if m.nhfield
+                     else jnp.zeros((0, 4), dtype=dtype)),
+    )
+
+
+def make_data(model: Model, dtype=None) -> Data:
+    """Fresh Data at qpos0, zero velocity."""
+    dtype = dtype or model.qpos0.dtype
+    z = lambda *shape: jnp.zeros(shape, dtype=dtype)
+    nv, nbody, nq = model.nv, model.nbody, model.nq
+    ncon = model.ncon_max
+    ident = jnp.zeros((nbody, 4), dtype=dtype).at[:, 0].set(1.0)
+    eye3 = jnp.broadcast_to(jnp.eye(3, dtype=dtype), (nbody, 3, 3))
+    contact = Contact(
+        dist=jnp.full((ncon,), 1e10, dtype=dtype),
+        pos=z(ncon, 3), frame=z(ncon, 3, 3), includemargin=z(ncon),
+        friction=z(ncon, 5), solref=z(ncon, 2), solimp=z(ncon, 5),
+        geom1=jnp.full((ncon,), -1, dtype=jnp.int32),
+        geom2=jnp.full((ncon,), -1, dtype=jnp.int32),
+    )
+    return Data(
+        qpos=jnp.asarray(model.qpos0, dtype=dtype), qvel=z(nv),
+        act=z(model.na), ctrl=z(model.nu),
+        qfrc_applied=z(nv), xfrc_applied=z(nbody, 6),
+        time=jnp.asarray(0.0, dtype=dtype),
+        xpos=z(nbody, 3), xquat=ident,
+        xmat=eye3, xipos=z(nbody, 3), ximat=eye3,
+        xanchor=z(model.njnt, 3), xaxis=z(model.njnt, 3),
+        geom_xpos=z(model.ngeom, 3),
+        geom_xmat=jnp.broadcast_to(jnp.eye(3, dtype=dtype),
+                                   (model.ngeom, 3, 3)),
+        site_xpos=z(model.nsite, 3),
+        site_xmat=jnp.broadcast_to(jnp.eye(3, dtype=dtype),
+                                   (model.nsite, 3, 3)),
+        subtree_com=z(nbody, 3), cinert=z(nbody, 6, 6), cdof=z(nv, 6),
+        ten_length=z(model.ntendon), ten_moment=z(model.ntendon, nv),
+        qM=z(nv, nv), qLD=z(nv, nv), contact=contact,
+        cvel=z(nbody, 6), cdof_dot=z(nv, 6),
+        ten_velocity=z(model.ntendon),
+        qfrc_bias=z(nv), qfrc_passive=z(nv), qfrc_fluid=z(nv),
+        actuator_length=z(model.nu), actuator_velocity=z(model.nu),
+        actuator_moment=z(model.nu, nv), actuator_force=z(model.nu),
+        act_dot=z(model.na), qfrc_actuator=z(nv),
+        qfrc_smooth=z(nv), qacc_smooth=z(nv),
+        qfrc_constraint=z(nv), qacc=z(nv),
+        efc_force=z(model.nefc),
+        sensordata=z(model.nsensordata),
+    )

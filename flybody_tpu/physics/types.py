@@ -1,0 +1,315 @@
+"""Core pytree types of the TPU-native physics engine.
+
+Design (TPU-first, not a port):
+
+* ``Model`` is a pytree whose *numeric parameters* (masses, inertias, gains,
+  spring constants, geometry sizes, ...) are JAX arrays — they are traced
+  under jit so they can be domain-randomized or vmapped without retracing —
+  while *structural metadata* (tree topology, joint types, index tables,
+  candidate collision pairs) is static numpy carried as pytree aux data.
+  Static structure is what lets the compiler unroll the kinematic tree into
+  a fixed level-parallel schedule with static gathers.
+
+* ``Data`` is the per-env dynamic state: a small pytree of flat arrays.
+  Batching = ``jax.vmap`` over ``Data`` with a shared ``Model``.
+
+Semantics follow the MuJoCo computation pipeline (the reference framework
+delegates all physics to MuJoCo C via dm_control; see SURVEY.md L0 and
+reference vnl_ray/fruitfly/fruitfly.py:12-19) but the implementation here is
+an independent, functional JAX design validated numerically against the
+MuJoCo oracle in tests.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# Joint types (mjtJoint order kept for converter simplicity).
+FREE = 0
+BALL = 1
+SLIDE = 2
+HINGE = 3
+
+# Geom types we support (subset of mjtGeom, same codes).
+GEOM_PLANE = 0
+GEOM_HFIELD = 1
+GEOM_SPHERE = 2
+GEOM_CAPSULE = 3
+GEOM_ELLIPSOID = 4
+GEOM_CYLINDER = 5
+GEOM_BOX = 6
+GEOM_MESH = 7
+
+# Actuator dynamics / gain / bias types (mjt* codes).
+DYN_NONE = 0
+DYN_INTEGRATOR = 1
+DYN_FILTER = 2
+DYN_FILTEREXACT = 3
+GAIN_FIXED = 0
+GAIN_AFFINE = 1
+BIAS_NONE = 0
+BIAS_AFFINE = 1
+# Transmission types.
+TRN_JOINT = 0
+TRN_TENDON = 3
+TRN_BODY = 5  # adhesion
+
+# Friction cone.
+CONE_PYRAMIDAL = 0
+CONE_ELLIPTIC = 1
+
+# Integrators.
+EULER = 0
+RK4 = 1
+IMPLICIT = 2
+
+# Sensor types (own enum, independent of mjtSensor codes).
+SENS_ACCELEROMETER = 0
+SENS_GYRO = 1
+SENS_VELOCIMETER = 2
+SENS_FORCE = 3
+SENS_TOUCH = 4
+SENS_JOINTPOS = 5
+SENS_JOINTVEL = 6
+SENS_ACTUATORFRC = 7
+SENS_FRAMEPOS = 8
+SENS_FRAMEQUAT = 9
+SENS_SUBTREECOM = 10
+SENS_TENDONPOS = 11
+SENS_TENDONVEL = 12
+
+
+class Static(np.ndarray):
+    """Numpy array usable as static pytree aux data (hashable by content)."""
+
+    def __new__(cls, a):
+        return np.asarray(a).view(cls)
+
+    def __hash__(self):  # type: ignore[override]
+        return hash((self.shape, self.dtype.str, self.tobytes()))
+
+    def __eq__(self, other):  # type: ignore[override]
+        if isinstance(other, np.ndarray):
+            return (
+                self.shape == other.shape
+                and np.asarray(self).tobytes() == np.asarray(other).tobytes()
+            )
+        return NotImplemented
+
+    def __ne__(self, other):  # type: ignore[override]
+        eq = self.__eq__(other)
+        return NotImplemented if eq is NotImplemented else not eq
+
+
+def _register(cls, data_fields, meta_fields):
+    jax.tree_util.register_dataclass(
+        cls, data_fields=list(data_fields), meta_fields=list(meta_fields)
+    )
+    return cls
+
+
+def pytree(meta: tuple[str, ...] = ()):
+    """Decorator: dataclass registered as pytree with given static fields."""
+
+    def wrap(cls):
+        cls = dataclasses.dataclass(frozen=False, repr=False)(cls)
+        fields = [f.name for f in dataclasses.fields(cls)]
+        data = [f for f in fields if f not in meta]
+        cls.replace = lambda self, **kw: dataclasses.replace(self, **kw)
+        return _register(cls, data, meta)
+
+    return wrap
+
+
+@pytree(meta=("integrator", "cone", "solver_iterations", "ls_iterations",
+              "noslip_iterations", "has_fluid"))
+class Option:
+    """Simulation options (mjOption subset)."""
+
+    timestep: jax.Array
+    gravity: jax.Array          # (3,)
+    density: jax.Array          # fluid medium density
+    viscosity: jax.Array
+    wind: jax.Array             # (3,)
+    impratio: jax.Array
+    tolerance: jax.Array
+    # static:
+    integrator: int
+    cone: int
+    solver_iterations: int
+    ls_iterations: int
+    noslip_iterations: int
+    has_fluid: bool
+
+
+_MODEL_META = (
+    # sizes
+    "nq", "nv", "nu", "na", "nbody", "njnt", "ngeom", "nsite", "ntendon",
+    "nwrap", "nsensor", "nsensordata", "ncon_max", "nefc",
+    # structure (Static numpy)
+    "body_parentid", "body_rootid", "body_jntadr", "body_jntnum",
+    "body_dofadr", "body_dofnum", "body_geomadr", "body_geomnum",
+    "body_tree",  # tuple of Static arrays: bodies per depth level
+    "jnt_type", "jnt_qposadr", "jnt_dofadr", "jnt_bodyid", "jnt_limited",
+    "dof_bodyid", "dof_jntid", "dof_parentid", "ancestor_mask",
+    "body_dof_mask",
+    "geom_type", "geom_bodyid", "geom_condim", "geom_priority",
+    "site_bodyid",
+    "ten_adr", "ten_num", "wrap_jntid",
+    "actuator_trntype", "actuator_dyntype", "actuator_gaintype",
+    "actuator_biastype", "actuator_trnid", "actuator_actadr",
+    "actuator_ctrllimited", "actuator_forcelimited",
+    "sensor_type", "sensor_objid", "sensor_adr", "sensor_dim",
+    "pair_geom1", "pair_geom2", "pair_type",  # candidate collision pairs
+    "con_dim",  # per-contact-slot condim (static, from pair geoms)
+    "names",
+    "nhfield", "hfield_nrow", "hfield_ncol",
+)
+
+
+@pytree(meta=_MODEL_META)
+class Model:
+    """Static model description + numeric parameters (see module docstring).
+
+    Mirrors the information content of mjModel for the supported feature set:
+    free/ball/slide/hinge joints, primitive geoms + heightfields, fixed
+    tendons, general/adhesion actuators with filter dynamics, inertia-box and
+    ellipsoid fluid models, elliptic/pyramidal friction cones.
+    """
+
+    # ---- sizes (static) ----
+    nq: int; nv: int; nu: int; na: int
+    nbody: int; njnt: int; ngeom: int; nsite: int
+    ntendon: int; nwrap: int; nsensor: int; nsensordata: int
+    ncon_max: int; nefc: int
+    nhfield: int; hfield_nrow: int; hfield_ncol: int
+
+    # ---- structure (static numpy) ----
+    body_parentid: Static; body_rootid: Static
+    body_jntadr: Static; body_jntnum: Static
+    body_dofadr: Static; body_dofnum: Static
+    body_geomadr: Static; body_geomnum: Static
+    body_tree: tuple  # tuple[Static]: body ids grouped by tree depth (>=1)
+    jnt_type: Static; jnt_qposadr: Static; jnt_dofadr: Static
+    jnt_bodyid: Static; jnt_limited: Static
+    dof_bodyid: Static; dof_jntid: Static; dof_parentid: Static
+    ancestor_mask: Static  # (nv, nv) bool: j is ancestor-or-self dof of i
+    body_dof_mask: Static  # (nbody, nv) bool: dof supports body
+    geom_type: Static; geom_bodyid: Static
+    geom_condim: Static; geom_priority: Static
+    site_bodyid: Static
+    ten_adr: Static; ten_num: Static; wrap_jntid: Static
+    actuator_trntype: Static; actuator_dyntype: Static
+    actuator_gaintype: Static; actuator_biastype: Static
+    actuator_trnid: Static; actuator_actadr: Static
+    actuator_ctrllimited: Static; actuator_forcelimited: Static
+    sensor_type: Static; sensor_objid: Static
+    sensor_adr: Static; sensor_dim: Static
+    pair_geom1: Static; pair_geom2: Static; pair_type: Static
+    con_dim: Static
+    names: Any  # dict of name tables (static)
+
+    # ---- numeric parameters (traced jnp arrays) ----
+    opt: Option
+    qpos0: jax.Array; qpos_spring: jax.Array
+    body_pos: jax.Array; body_quat: jax.Array
+    body_ipos: jax.Array; body_iquat: jax.Array
+    body_mass: jax.Array; body_subtreemass: jax.Array
+    body_inertia: jax.Array
+    body_invweight0: jax.Array  # (nbody, 2)
+    jnt_pos: jax.Array; jnt_axis: jax.Array
+    jnt_range: jax.Array; jnt_stiffness: jax.Array
+    jnt_solref: jax.Array; jnt_solimp: jax.Array; jnt_margin: jax.Array
+    dof_armature: jax.Array; dof_damping: jax.Array
+    dof_frictionloss: jax.Array; dof_invweight0: jax.Array
+    geom_pos: jax.Array; geom_quat: jax.Array; geom_size: jax.Array
+    geom_friction: jax.Array; geom_solref: jax.Array; geom_solimp: jax.Array
+    geom_solmix: jax.Array
+    geom_margin: jax.Array; geom_gap: jax.Array
+    geom_fluid: jax.Array  # (ngeom, 12) ellipsoid-model params (0 => off)
+    site_pos: jax.Array; site_quat: jax.Array; site_size: jax.Array
+    ten_stiffness: jax.Array; ten_damping: jax.Array
+    ten_lengthspring: jax.Array; ten_invweight0: jax.Array
+    wrap_coef: jax.Array
+    actuator_dynprm: jax.Array; actuator_gainprm: jax.Array
+    actuator_biasprm: jax.Array
+    actuator_ctrlrange: jax.Array; actuator_forcerange: jax.Array
+    actuator_gear: jax.Array  # (nu, 6)
+    actuator_acc0: jax.Array
+    hfield_data: jax.Array      # (nhfield, nrow, ncol) normalized heights
+    hfield_size: jax.Array      # (nhfield, 4): x, y, z_top, z_bottom
+
+
+@pytree(meta=())
+class Contact:
+    """Batch of contact slots (fixed size ncon_max; inactive => dist=1e10)."""
+
+    dist: jax.Array       # (ncon,)
+    pos: jax.Array        # (ncon, 3)
+    frame: jax.Array      # (ncon, 3, 3): rows = normal, tangent1, tangent2
+    includemargin: jax.Array  # (ncon,)
+    friction: jax.Array   # (ncon, 5)
+    solref: jax.Array     # (ncon, 2)
+    solimp: jax.Array     # (ncon, 5)
+    geom1: jax.Array      # (ncon,) int32
+    geom2: jax.Array      # (ncon,) int32
+
+
+@pytree(meta=())
+class Data:
+    """Dynamic per-env state, MuJoCo mjData analog as a flat pytree."""
+
+    # state
+    qpos: jax.Array       # (nq,)
+    qvel: jax.Array       # (nv,)
+    act: jax.Array        # (na,)
+    ctrl: jax.Array       # (nu,)
+    qfrc_applied: jax.Array  # (nv,)
+    xfrc_applied: jax.Array  # (nbody, 6)
+    time: jax.Array
+
+    # fwd_position products
+    xpos: jax.Array; xquat: jax.Array; xmat: jax.Array
+    xipos: jax.Array; ximat: jax.Array
+    xanchor: jax.Array; xaxis: jax.Array
+    geom_xpos: jax.Array; geom_xmat: jax.Array
+    site_xpos: jax.Array; site_xmat: jax.Array
+    subtree_com: jax.Array  # (nbody, 3)
+    cinert: jax.Array       # (nbody, 6, 6) spatial inertia at com-root origin
+    cdof: jax.Array         # (nv, 6)
+    ten_length: jax.Array   # (ntendon,)
+    ten_moment: jax.Array   # (ntendon, nv)
+    qM: jax.Array           # (nv, nv) dense
+    qLD: jax.Array          # (nv, nv) cholesky factor of qM
+    contact: Contact
+
+    # fwd_velocity products
+    cvel: jax.Array         # (nbody, 6)
+    cdof_dot: jax.Array     # (nv, 6)
+    ten_velocity: jax.Array
+    qfrc_bias: jax.Array
+    qfrc_passive: jax.Array
+    qfrc_fluid: jax.Array
+
+    # actuation
+    actuator_length: jax.Array
+    actuator_velocity: jax.Array
+    actuator_moment: jax.Array  # (nu, nv)
+    actuator_force: jax.Array
+    act_dot: jax.Array
+    qfrc_actuator: jax.Array
+
+    # acceleration & constraints
+    qfrc_smooth: jax.Array
+    qacc_smooth: jax.Array
+    qfrc_constraint: jax.Array
+    qacc: jax.Array
+    efc_force: jax.Array    # (nefc,)
+
+    # sensors
+    sensordata: jax.Array
