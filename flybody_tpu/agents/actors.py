@@ -1,0 +1,119 @@
+"""Batched on-device actor: policy rollout + n-step transition assembly.
+
+Replaces the reference's process-parallel CPU actors + Reverb
+NStepTransitionAdder (reference vnl_ray/agents/actors.py + acme adders)
+with a single scanned rollout over lockstep envs: policy forward, physics
+step, auto-reset masking, and n-step reward/bootstrap assembly — all
+inside one jit program (SURVEY.md §7 design delta 3).
+
+N-step semantics match acme's adder: windows truncate at episode
+boundaries; termination zeroes the bootstrap via the env discount, while
+time-limit truncation bootstraps from the boundary observation.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+
+from flybody_tpu.agents.dmpo import Transition
+from flybody_tpu.agents.networks import batch_concat
+
+
+def canonical_to_real(action, lo, hi):
+    """Map canonical [-1, 1] actions to env bounds (acme
+    CanonicalSpecWrapper with clip=True)."""
+    a = jnp.clip(action, -1.0, 1.0)
+    return lo + (a + 1.0) * 0.5 * (hi - lo)
+
+
+@dataclasses.dataclass
+class RolloutConfig:
+    unroll_length: int = 40     # control steps per rollout chunk
+    n_step: int = 5
+    discount: float = 0.99
+
+
+def make_rollout_fn(env, policy_apply, cfg: RolloutConfig,
+                    stochastic: bool = True, action_delay: int = 0):
+    """Returns rollout(params, env_states, rng) ->
+    (new_env_states, Transition batch (flattened windows), metrics).
+
+    `env_states` is a vmapped batch of EnvState. `action_delay` emulates the
+    reference's DelayedFeedForwardActor queue (reference agents/actors.py:79).
+    """
+    lo, hi = env.action_spec()
+    lo = jnp.asarray(lo, jnp.float32)
+    hi = jnp.asarray(hi, jnp.float32)
+    vstep = jax.vmap(env.step)
+    vreset = jax.vmap(env.reset)
+
+    def rollout(params, env_states, rng):
+        def one(carry, _):
+            states, rng_ = carry
+            rng_, k_act, k_reset = jax.random.split(rng_, 3)
+            obs_flat = jax.vmap(batch_concat)(states.obs)
+            dist = policy_apply(params, obs_flat)
+            canonical = dist.sample(k_act) if stochastic else dist.mode()
+            actions = canonical_to_real(canonical, lo, hi)
+            stepped = vstep(states, actions)
+            obs_after = jax.vmap(batch_concat)(stepped.obs)
+            n_env = obs_flat.shape[0]
+            fresh = vreset(jax.random.split(k_reset, n_env))
+            next_states = jax.tree.map(
+                lambda new, old: jnp.where(
+                    stepped.done.reshape((-1,) + (1,) * (new.ndim - 1)),
+                    new, old),
+                fresh, stepped)
+            out = dict(obs=obs_flat, action=canonical,
+                       reward=stepped.reward, discount=stepped.discount,
+                       done=stepped.done, obs_after=obs_after,
+                       episode_return=stepped.metrics["episode_return"])
+            return (next_states, rng_), out
+
+        (env_states, rng), traj = jax.lax.scan(
+            one, (env_states, rng), None, length=cfg.unroll_length)
+        transitions = nstep_from_trajectory(traj, cfg)
+        metrics = {
+            "mean_reward": jnp.mean(traj["reward"]),
+            "episodes_done": jnp.sum(traj["done"]),
+            "mean_episode_return": (
+                jnp.sum(jnp.where(traj["done"], traj["episode_return"], 0.0))
+                / jnp.maximum(jnp.sum(traj["done"]), 1.0)),
+        }
+        return env_states, transitions, metrics
+
+    return rollout
+
+
+def nstep_from_trajectory(traj: dict, cfg: RolloutConfig) -> Transition:
+    """Assemble overlapping n-step transitions from a (T, B, ...) rollout.
+
+    Windows truncate at the first done inside the window; bootstrap obs is
+    the post-step observation at the truncation point.
+    """
+    n = cfg.n_step
+    gamma = cfg.discount
+    T = traj["reward"].shape[0]
+    n_windows = T - n + 1
+    sl = lambda x, k: x[k:k + n_windows]
+
+    acc_r = sl(traj["reward"], 0)
+    acc_d = gamma * sl(traj["discount"], 0)
+    nxt = sl(traj["obs_after"], 0)
+    ended = sl(traj["done"], 0)
+    for k in range(1, n):
+        take = jnp.logical_not(ended)
+        acc_r = acc_r + jnp.where(take, acc_d * sl(traj["reward"], k), 0.0)
+        nxt = jnp.where(take[..., None], sl(traj["obs_after"], k), nxt)
+        acc_d = jnp.where(take, acc_d * gamma * sl(traj["discount"], k),
+                          acc_d)
+        ended = jnp.logical_or(ended, sl(traj["done"], k))
+
+    flat = lambda x: x.reshape((-1,) + x.shape[2:])
+    return Transition(
+        obs=flat(sl(traj["obs"], 0)),
+        action=flat(sl(traj["action"], 0)),
+        reward=flat(acc_r), discount=flat(acc_d), next_obs=flat(nxt))

@@ -39,12 +39,13 @@ _PAIR_NCON = {
     (T.GEOM_HFIELD, T.GEOM_CAPSULE): 2,
     (T.GEOM_SPHERE, T.GEOM_SPHERE): 1,
     (T.GEOM_SPHERE, T.GEOM_CAPSULE): 1,
-    (T.GEOM_SPHERE, T.GEOM_ELLIPSOID): 1,
     (T.GEOM_SPHERE, T.GEOM_BOX): 1,
     (T.GEOM_CAPSULE, T.GEOM_CAPSULE): 1,
-    (T.GEOM_CAPSULE, T.GEOM_ELLIPSOID): 1,
     (T.GEOM_CAPSULE, T.GEOM_BOX): 2,
 }
+# NOTE: ellipsoid-vs-convex pairs (wing membranes / thorax self-collisions)
+# are not yet narrowphased — candidate pairs of unsupported types are
+# dropped at model build. TODO(round 2): support-function ellipsoid contact.
 
 
 def _names(m) -> dict:
@@ -187,18 +188,38 @@ def put_model(m, dtype=jnp.float32) -> Model:
 
     pair_g1, pair_g2, pair_types = _collision_pairs(m)
     ncon_max = int(sum(_PAIR_NCON[t] for t in pair_types))
-    # condim per contact slot: max of the two geoms' condim (priority rule).
+    # Per-slot combined contact params (mj_contactParam semantics),
+    # precomputed host-side so collision() traces O(groups) not O(pairs).
     con_dim = []
+    con_solref, con_solimp, con_fric, con_incmargin = [], [], [], []
     for (g1, g2) in zip(pair_g1, pair_g2):
         p1, p2 = int(m.geom_priority[g1]), int(m.geom_priority[g2])
-        if p1 > p2:
-            cd = int(m.geom_condim[g1])
-        elif p2 > p1:
-            cd = int(m.geom_condim[g2])
+        if p1 != p2:
+            hi = g1 if p1 > p2 else g2
+            cd = int(m.geom_condim[hi])
+            solref = m.geom_solref[hi].copy()
+            solimp = m.geom_solimp[hi].copy()
+            fric = m.geom_friction[hi].copy()
         else:
             cd = max(int(m.geom_condim[g1]), int(m.geom_condim[g2]))
+            s1, s2 = float(m.geom_solmix[g1]), float(m.geom_solmix[g2])
+            mix = s1 / (s1 + s2) if (s1 + s2) > 1e-12 else 0.5
+            if m.geom_solref[g1, 0] <= 0 or m.geom_solref[g2, 0] <= 0:
+                solref = np.minimum(m.geom_solref[g1], m.geom_solref[g2])
+            else:
+                solref = mix * m.geom_solref[g1] + (1 - mix) * m.geom_solref[g2]
+            solimp = mix * m.geom_solimp[g1] + (1 - mix) * m.geom_solimp[g2]
+            fric = np.maximum(m.geom_friction[g1], m.geom_friction[g2])
+        margin = max(float(m.geom_margin[g1]), float(m.geom_margin[g2]))
+        gap = max(float(m.geom_gap[g1]), float(m.geom_gap[g2]))
+        fric5 = np.array([fric[0], fric[0], fric[1], fric[2], fric[2]])
         t = (int(m.geom_type[g1]), int(m.geom_type[g2]))
-        con_dim += [cd] * _PAIR_NCON[t]
+        k = _PAIR_NCON[t]
+        con_dim += [cd] * k
+        con_solref += [solref] * k
+        con_solimp += [solimp] * k
+        con_fric += [fric5] * k
+        con_incmargin += [margin - gap] * k
 
     n_limit = int(m.jnt_limited.sum())
     nefc = n_limit + int(sum(con_dim))
@@ -252,6 +273,7 @@ def put_model(m, dtype=jnp.float32) -> Model:
         body_dof_mask=s(_body_dof_mask(m)),
         geom_type=s(m.geom_type), geom_bodyid=s(m.geom_bodyid),
         geom_condim=s(m.geom_condim), geom_priority=s(m.geom_priority),
+        geom_fluid_active=s(np.asarray(m.geom_fluid)[:, 0] != 0),
         site_bodyid=s(m.site_bodyid),
         ten_adr=s(m.tendon_adr), ten_num=s(m.tendon_num),
         wrap_jntid=s(wrap_jntid),
@@ -310,6 +332,14 @@ def put_model(m, dtype=jnp.float32) -> Model:
             if m.nhfield else jnp.zeros((0, 0, 0), dtype=dtype)),
         hfield_size=(a(m.hfield_size) if m.nhfield
                      else jnp.zeros((0, 4), dtype=dtype)),
+        con_solref=(a(np.stack(con_solref)) if con_solref
+                    else jnp.zeros((0, 2), dtype=dtype)),
+        con_solimp=(a(np.stack(con_solimp)) if con_solimp
+                    else jnp.zeros((0, 5), dtype=dtype)),
+        con_friction=(a(np.stack(con_fric)) if con_fric
+                      else jnp.zeros((0, 5), dtype=dtype)),
+        con_includemargin=(a(np.array(con_incmargin)) if con_incmargin
+                           else jnp.zeros((0,), dtype=dtype)),
     )
 
 
@@ -354,5 +384,6 @@ def make_data(model: Model, dtype=None) -> Data:
         qfrc_smooth=z(nv), qacc_smooth=z(nv),
         qfrc_constraint=z(nv), qacc=z(nv),
         efc_force=z(model.nefc),
+        contact_force=z(ncon, 3),
         sensordata=z(model.nsensordata),
     )

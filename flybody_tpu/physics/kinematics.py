@@ -233,7 +233,7 @@ def tendon(m: Model, d: Data) -> Data:
     for t in range(m.ntendon):
         idx = np.arange(ten_adr[t], ten_adr[t] + ten_num[t])
         jids = wrap_jnt[idx]
-        coefs = m.wrap_coef[idx, 0]
+        coefs = m.wrap_coef.reshape(-1)[idx]
         length = length.at[t].set(jnp.sum(coefs * d.qpos[qposadr[jids]]))
         moment = moment.at[t, dofadr[jids]].set(coefs)
     return d.replace(ten_length=length, ten_moment=moment)

@@ -107,17 +107,11 @@ def fluid_box(m: Model, d: Data) -> jnp.ndarray:
 def _ellipsoid_body_mask(m: Model) -> np.ndarray:
     """Static (nbody,) bool: body has at least one ellipsoid-fluid geom."""
     geom_body = np.asarray(m.geom_bodyid)
-    # geom_fluid[:, 0] != 0 marks ellipsoid-fluid interaction enabled.
-    # This is numeric (traced) in general, but fluid activation is a
-    # compile-time property of the model, so read it host-side.
-    active = np.asarray(m.geom_fluid)[:, 0] != 0
-    mask = np.zeros(int(np.asarray(m.geom_bodyid).max()) + 1
-                    if len(geom_body) else 1, dtype=bool)
+    active = np.asarray(m.geom_fluid_active)
     out = np.zeros(m.nbody, dtype=bool)
     for g in range(m.ngeom):
         if active[g]:
             out[geom_body[g]] = True
-    del mask
     return out
 
 
@@ -132,7 +126,7 @@ def fluid_ellipsoid(m: Model, d: Data) -> jnp.ndarray:
     dominate. Validated statistically against the oracle in tests.
     """
     dtype = d.qpos.dtype
-    active = np.asarray(m.geom_fluid)[:, 0] != 0
+    active = np.asarray(m.geom_fluid_active)
     if not active.any():
         return jnp.zeros((m.nbody, 6), dtype=dtype)
     gids = np.nonzero(active)[0]

@@ -159,6 +159,7 @@ _MODEL_META = (
     "dof_bodyid", "dof_jntid", "dof_parentid", "ancestor_mask",
     "body_dof_mask",
     "geom_type", "geom_bodyid", "geom_condim", "geom_priority",
+    "geom_fluid_active",
     "site_bodyid",
     "ten_adr", "ten_num", "wrap_jntid",
     "actuator_trntype", "actuator_dyntype", "actuator_gaintype",
@@ -202,6 +203,7 @@ class Model:
     body_dof_mask: Static  # (nbody, nv) bool: dof supports body
     geom_type: Static; geom_bodyid: Static
     geom_condim: Static; geom_priority: Static
+    geom_fluid_active: Static  # (ngeom,) bool: ellipsoid fluid model on
     site_bodyid: Static
     ten_adr: Static; ten_num: Static; wrap_jntid: Static
     actuator_trntype: Static; actuator_dyntype: Static
@@ -243,6 +245,11 @@ class Model:
     actuator_acc0: jax.Array
     hfield_data: jax.Array      # (nhfield, nrow, ncol) normalized heights
     hfield_size: jax.Array      # (nhfield, 4): x, y, z_top, z_bottom
+    # per-contact-slot combined params (precomputed at model conversion)
+    con_solref: jax.Array       # (ncon_max, 2)
+    con_solimp: jax.Array       # (ncon_max, 5)
+    con_friction: jax.Array     # (ncon_max, 5)
+    con_includemargin: jax.Array  # (ncon_max,)
 
 
 @pytree(meta=())
@@ -310,6 +317,7 @@ class Data:
     qfrc_constraint: jax.Array
     qacc: jax.Array
     efc_force: jax.Array    # (nefc,)
+    contact_force: jax.Array  # (ncon_max, 3): (normal, t1, t2) per slot
 
     # sensors
     sensordata: jax.Array
