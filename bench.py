@@ -1,0 +1,58 @@
+"""North-star benchmark: walk-on-ball env throughput (batched, one chip).
+
+Prints ONE JSON line:
+  {"metric": "env_steps_per_s", "value": N, "unit": "steps/s",
+   "vs_baseline": N / 1e6}
+
+`vs_baseline` is the fraction of the driver's north-star target of 1M
+aggregate env-steps/s (BASELINE.json; the reference publishes no numbers —
+SURVEY.md §6). One env-step = one control step = 10 physics substeps of the
+full fly model (105 dofs, 1137 candidate contact pairs, Newton contact
+solver) plus observation/reward evaluation.
+"""
+
+import json
+import os
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+
+
+def main():
+    num_envs = int(os.environ.get("BENCH_NUM_ENVS", 1024))
+    iters = int(os.environ.get("BENCH_ITERS", 30))
+    from flybody_tpu.fly_envs import walk_on_ball
+
+    env = walk_on_ball()
+    rng = jax.random.PRNGKey(0)
+    reset = jax.jit(jax.vmap(env.reset))
+    step = jax.jit(jax.vmap(env.autoreset_step))
+
+    states = reset(jax.random.split(rng, num_envs))
+    lo, hi = env.action_spec()
+    mid = jnp.broadcast_to(jnp.asarray((lo + hi) / 2, jnp.float32),
+                           (num_envs, env.action_size))
+
+    # compile + warmup
+    states = step(states, mid)
+    jax.block_until_ready(states.data.qpos)
+
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        states = step(states, mid)
+    jax.block_until_ready(states.data.qpos)
+    dt = time.perf_counter() - t0
+
+    steps_per_s = num_envs * iters / dt
+    print(json.dumps({
+        "metric": "env_steps_per_s",
+        "value": round(steps_per_s, 1),
+        "unit": "steps/s",
+        "vs_baseline": round(steps_per_s / 1e6, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

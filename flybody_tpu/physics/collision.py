@@ -76,6 +76,38 @@ def _plane_ellipsoid(p1, m1, s1, p2, m2, s2):
     return d[None], pos[None], n[None]
 
 
+def _plane_cylinder(p1, m1, s1, p2, m2, s2):
+    """Plane vs cylinder: deepest rim points of both caps + one extra
+    lower-cap rim point (stabilizes the near-upright case)."""
+    n = m1[:, 2]
+    a = m2[:, 2]
+    r, h = s2[0], s2[1]
+    na = jnp.dot(n, a)
+    # in-plane direction of steepest descent on the cap circles
+    u = n - na * a
+    u_norm = jnp.linalg.norm(u)
+    # fallback direction when axis is parallel to the normal
+    alt = jnp.where(jnp.abs(a[0]) < 0.5,
+                    jnp.array([1.0, 0.0, 0.0], a.dtype),
+                    jnp.array([0.0, 1.0, 0.0], a.dtype))
+    alt = alt - jnp.dot(alt, a) * a
+    alt = alt / jnp.maximum(jnp.linalg.norm(alt), 1e-12)
+    u = jnp.where(u_norm > 1e-9, u / jnp.maximum(u_norm, 1e-12), alt)
+    w = jnp.cross(a, u)
+    # lower cap = the one deeper along -n
+    sgn = jnp.where(na > 0, -1.0, 1.0)
+    c_low = p2 + sgn * h * a
+    c_high = p2 - sgn * h * a
+    pts = jnp.stack([
+        c_low - r * u,
+        c_high - r * u,
+        c_low - r * (-0.5 * u + 0.8660254 * w),
+    ])
+    d = pts @ n - jnp.dot(n, p1)
+    pos = pts - 0.5 * d[:, None] * n
+    return d, pos, jnp.broadcast_to(n, (3, 3))
+
+
 def _plane_box(p1, m1, s1, p2, m2, s2):
     n = m1[:, 2]
     corners = jnp.array([[sx, sy, sz]
@@ -234,6 +266,7 @@ def _dispatch(m: Model, t1: int, t2: int):
         (T.GEOM_PLANE, T.GEOM_SPHERE): _plane_sphere,
         (T.GEOM_PLANE, T.GEOM_CAPSULE): _plane_capsule,
         (T.GEOM_PLANE, T.GEOM_ELLIPSOID): _plane_ellipsoid,
+        (T.GEOM_PLANE, T.GEOM_CYLINDER): _plane_cylinder,
         (T.GEOM_PLANE, T.GEOM_BOX): _plane_box,
         (T.GEOM_SPHERE, T.GEOM_SPHERE): _sphere_sphere,
         (T.GEOM_SPHERE, T.GEOM_CAPSULE): _sphere_capsule,

@@ -240,46 +240,6 @@ def make_efc(m: Model, d: Data, meta: EfcMeta):
                     jnp.zeros((0,), dtype=dtype)))
 
 
-def _efc_force(meta: EfcMeta, efc, jar):
-    """Constraint force & Gauss-Newton weights per row.
-
-    Unilateral rows (limits, frictionless normals): f = -D jar if jar < 0.
-    Elliptic cones (condim 3): project y = -D jar onto the friction cone.
-    Layout per group: [normals(K)][t1(K)][t2(K)].
-    """
-    D = efc["D"]
-    y = -D * jar
-    f = jnp.where(jar < 0, y, 0.0)          # default unilateral
-    w = jnp.where(jar < 0, D, 0.0)
-    mu_idx = 0
-    for start, cd, K in efc["cones"]:
-        if cd == 1:
-            continue  # already handled by unilateral default
-        ndim = min(cd, 3)
-        n_sl = slice(start, start + K)
-        yn = y[n_sl]
-        Dn = D[n_sl]
-        t_rows = [slice(start + (1 + t) * K, start + (2 + t) * K)
-                  for t in range(ndim - 1)]
-        yt_vec = jnp.stack([y[s] for s in t_rows], axis=0)   # (ndim-1, K)
-        yt = jnp.sqrt(jnp.sum(yt_vec ** 2, axis=0) + 1e-20)
-        mu = efc["mu"][mu_idx]
-        mu_idx += 1
-        top = (yn + mu * yt) <= 0            # no force
-        bottom = mu * yn >= yt               # inside cone: full quadratic
-        fn_mid = (yn + mu * yt) / (1.0 + mu * mu)
-        fn = jnp.where(top, 0.0, jnp.where(bottom, yn, fn_mid))
-        scale_t = jnp.where(
-            top, 0.0, jnp.where(bottom, 1.0,
-                                mu * fn_mid / jnp.maximum(yt, 1e-12)))
-        f = f.at[n_sl].set(fn)
-        w = w.at[n_sl].set(jnp.where(top, 0.0, Dn))
-        for t, s in enumerate(t_rows):
-            f = f.at[s].set(yt_vec[t] * scale_t)
-            w = w.at[s].set(jnp.where(top, 0.0, D[s]))
-    return f, w
-
-
 def solve(m: Model, d: Data, iterations: int | None = None) -> Data:
     """Constraint solve: qacc, qfrc_constraint from the smooth solution."""
     meta = efc_meta(m)
@@ -287,42 +247,12 @@ def solve(m: Model, d: Data, iterations: int | None = None) -> Data:
         return d.replace(qacc=d.qacc_smooth,
                          qfrc_constraint=jnp.zeros_like(d.qvel))
     efc = make_efc(m, d, meta)
-    J, aref = efc["J"], efc["aref"]
     niter = iterations if iterations is not None else min(
-        m.opt.solver_iterations, 10)
-
-    M = d.qM
-    a_s = d.qacc_smooth
-
-    def newton_iter(x, _):
-        jar = J @ x - aref
-        f, w = _efc_force(meta, efc, jar)
-        grad = M @ (x - a_s) - J.T @ f
-        H = M + (J.T * w) @ J
-        L = jax.scipy.linalg.cholesky(
-            H + 1e-10 * jnp.eye(H.shape[0], dtype=H.dtype), lower=True)
-        p = -jax.scipy.linalg.cho_solve((L, True), grad)
-        # 1D Newton linesearch on phi'(alpha)
-        Jp = J @ p
-        pMp = p @ (M @ p)
-        pM_xa = p @ (M @ (x - a_s))
-
-        def ls(alpha, _):
-            jar_a = jar + alpha * Jp
-            f_a, w_a = _efc_force(meta, efc, jar_a)
-            dphi = pM_xa + alpha * pMp - Jp @ f_a
-            ddphi = pMp + jnp.sum(w_a * Jp * Jp)
-            alpha = alpha - dphi / jnp.maximum(ddphi, 1e-12)
-            return jnp.clip(alpha, 0.0, 2.0), None
-
-        alpha, _ = jax.lax.scan(ls, jnp.asarray(1.0, x.dtype), None,
-                                length=4)
-        return x + alpha * p, None
-
-    x, _ = jax.lax.scan(newton_iter, a_s, None, length=niter)
-    jar = J @ x - aref
-    f, _ = _efc_force(meta, efc, jar)
-    qfrc = J.T @ f
+        m.opt.solver_iterations, 12)
+    from flybody_tpu.physics.solver import solve_newton
+    x, f = solve_newton(d.qM, d.qacc_smooth, efc, meta, iterations=niter,
+                        ls_iterations=min(m.opt.ls_iterations, 8))
+    qfrc = efc["J"].T @ f
     # pad efc_force into the fixed-size slot (selected rows only)
     ef = jnp.zeros((m.nefc,), dtype=x.dtype)
     n = min(meta.nrows, m.nefc)
@@ -333,6 +263,5 @@ def solve(m: Model, d: Data, iterations: int | None = None) -> Data:
         cols = [f[start + t * K: start + (t + 1) * K] for t in range(ndim)]
         cols += [jnp.zeros((K,), dtype=x.dtype)] * (3 - ndim)
         cfrc = cfrc.at[sel].set(jnp.stack(cols, axis=-1))
-    return d.replace(qacc=a_s + jax.scipy.linalg.cho_solve(
-        (d.qLD, True), qfrc), qfrc_constraint=qfrc, efc_force=ef,
-        contact_force=cfrc)
+    return d.replace(qacc=x, qfrc_constraint=qfrc, efc_force=ef,
+                     contact_force=cfrc)

@@ -1,0 +1,58 @@
+"""Environment-level tests: specs, determinism, auto-reset, batching."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from flybody_tpu.fly_envs import walk_on_ball
+
+
+@pytest.fixture(scope="module")
+def env():
+    return walk_on_ball(time_limit=0.02, dtype=jnp.float32)  # 10 steps
+
+
+def test_specs(env):
+    lo, hi = env.action_spec()
+    assert lo.shape == (59,) and hi.shape == (59,)
+    assert np.all(lo < hi)
+    # adhesion actuators have ctrlrange [0, 1]
+    assert np.any(lo == 0.0)
+
+
+def test_reset_deterministic(env):
+    s1 = env.reset(jax.random.PRNGKey(7))
+    s2 = env.reset(jax.random.PRNGKey(7))
+    for a, b in zip(jax.tree.leaves(s1), jax.tree.leaves(s2)):
+        np.testing.assert_array_equal(a, b)
+
+
+def test_step_and_autoreset(env):
+    step = jax.jit(env.autoreset_step)
+    state = env.reset(jax.random.PRNGKey(0))
+    a = jnp.zeros(env.action_size)
+    for t in range(12):
+        state = step(state, a)
+        assert bool(jnp.all(jnp.isfinite(state.data.qpos)))
+    # time limit is 10 control steps: an auto-reset must have happened
+    assert int(state.step_idx) < 12
+    assert float(state.discount) in (0.0, 1.0)
+
+
+def test_batched_step(env):
+    n = 4
+    states = jax.vmap(env.reset)(jax.random.split(jax.random.PRNGKey(0), n))
+    step = jax.jit(jax.vmap(env.autoreset_step))
+    actions = jnp.zeros((n, env.action_size))
+    states = step(states, actions)
+    assert states.reward.shape == (n,)
+    assert states.obs["joints_pos"].shape == (n, 102)
+    assert bool(jnp.all(jnp.isfinite(states.obs["ball_qvel"])))
+
+
+def test_obs_reasonable_at_rest(env):
+    state = env.reset(jax.random.PRNGKey(0))
+    # world_zaxis of an upright fly ~ +z
+    assert float(state.obs["world_zaxis"][2]) > 0.9

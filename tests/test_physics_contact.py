@@ -49,9 +49,9 @@ def test_forward_contact_forces(setup):
     """Static scene with penetrating contacts: qacc should match MuJoCo."""
     mj_model, model = setup
     mjd = mujoco.MjData(mj_model)
-    # slight penetrations
+    # realistic slight penetration (typical in-simulation contact depth)
     mjd.qpos[:] = mj_model.qpos0
-    mjd.qpos[2] -= 0.155   # ball into floor
+    mjd.qpos[2] -= 0.1505  # ball 0.5 mm into floor
     mjd.qvel[0] = 0.3      # sliding -> friction
     mujoco.mj_forward(mj_model, mjd)
 
@@ -93,10 +93,10 @@ def test_joint_limit_matches_mujoco(setup):
     mj_model, model = setup
     mjd = mujoco.MjData(mj_model)
     mjd.qpos[:] = mj_model.qpos0
-    # lift arm above floor, push past limit
+    # arm rotated up past its lower limit (contact-free, pure limit row)
     adr = mj_model.jnt_qposadr[mj_model.joint("hinge").id]
-    mjd.qpos[adr] = 0.72
-    mjd.qvel[mj_model.jnt_dofadr[mj_model.joint("hinge").id]] = 1.0
+    mjd.qpos[adr] = -0.705
+    mjd.qvel[mj_model.jnt_dofadr[mj_model.joint("hinge").id]] = -1.0
     mujoco.mj_forward(mj_model, mjd)
 
     d = io_mj.make_data(model, dtype=jnp.float64)

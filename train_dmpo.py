@@ -1,0 +1,123 @@
+"""DMPO training entry point (reference train_dmpo_ray.py, TPU-native).
+
+One SPMD program replaces the reference's Ray cluster: envs + replay shard
+over the local device mesh, params replicate, the learner's gradients
+allreduce over ICI. Usage:
+
+    python train_dmpo.py --task walk_on_ball --num-envs 256 \
+        --iterations 1000 --log-every 10 [--test]
+
+`--test` runs a small single-process smoke configuration printing stats
+(reference train_dmpo_ray.py --test mode).
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import time
+
+import jax
+import jax.numpy as jnp
+
+from flybody_tpu.agents.dmpo import DMPOConfig
+from flybody_tpu.agents.train import DMPOTrainer, TrainerConfig
+from flybody_tpu.io import checkpoint as ckpt
+from flybody_tpu.parallel.mesh import (loop_shardings, make_mesh,
+                                       shard_loop_state)
+from flybody_tpu.utils.loggers import make_default_logger
+
+TASKS = {
+    "walk_on_ball": "flybody_tpu.fly_envs:walk_on_ball",
+    "template": "flybody_tpu.fly_envs:template_task",
+    "walk_imitation": "flybody_tpu.fly_envs:walk_imitation",
+    "flight_imitation": "flybody_tpu.fly_envs:flight_imitation",
+}
+
+
+def make_env(name: str):
+    mod_name, fn_name = TASKS[name].split(":")
+    import importlib
+    return getattr(importlib.import_module(mod_name), fn_name)()
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--task", default="walk_on_ball", choices=sorted(TASKS))
+    p.add_argument("--num-envs", type=int, default=256)
+    p.add_argument("--unroll-length", type=int, default=20)
+    p.add_argument("--batch-size", type=int, default=256)
+    p.add_argument("--iterations", type=int, default=1000)
+    p.add_argument("--replay-capacity", type=int, default=1_000_000)
+    p.add_argument("--min-replay-size", type=int, default=10_000)
+    p.add_argument("--samples-per-insert", type=float, default=32.0)
+    p.add_argument("--n-step", type=int, default=5)
+    p.add_argument("--log-every", type=int, default=10)
+    p.add_argument("--ckpt-dir", default="")
+    p.add_argument("--ckpt-minutes", type=float, default=30.0)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--test", action="store_true",
+                   help="small smoke configuration")
+    args = p.parse_args()
+
+    if args.test:
+        args.num_envs = max(8, jax.device_count())
+        args.unroll_length = 10
+        args.batch_size = 32
+        args.min_replay_size = 64
+        args.replay_capacity = 10_000
+        args.iterations = min(args.iterations, 20)
+        args.log_every = 1
+
+    env = make_env(args.task)
+    cfg = TrainerConfig(
+        num_envs=args.num_envs, unroll_length=args.unroll_length,
+        replay_capacity=args.replay_capacity,
+        min_replay_size=args.min_replay_size,
+        samples_per_insert=args.samples_per_insert,
+        dmpo=DMPOConfig(batch_size=args.batch_size, n_step=args.n_step))
+    trainer = DMPOTrainer(env, cfg)
+    logger = make_default_logger("learner", save_csv=bool(args.ckpt_dir),
+                                 csv_dir=args.ckpt_dir or "logs")
+
+    loop = trainer.init(jax.random.PRNGKey(args.seed))
+    mesh = make_mesh()
+    loop = shard_loop_state(mesh, loop)
+    sh = loop_shardings(mesh, loop)
+    step = jax.jit(trainer.train_iteration,
+                   in_shardings=(sh,), out_shardings=(sh, None))
+
+    ckptr = (ckpt.PeriodicCheckpointer(args.ckpt_dir, args.ckpt_minutes)
+             if args.ckpt_dir else None)
+    resume = ckpt.latest(args.ckpt_dir) if args.ckpt_dir else None
+    if resume:
+        loop = ckpt.restore(resume, loop)
+        print(f"resumed from {resume}")
+
+    t0 = time.time()
+    steps0 = 0
+    for it in range(args.iterations):
+        loop, metrics = step(loop)
+        if (it + 1) % args.log_every == 0:
+            jax.block_until_ready(loop.train.steps)
+            actor_steps = int(metrics["actor_steps"])
+            dt = time.time() - t0
+            sps = (actor_steps - steps0) / max(dt, 1e-9)
+            t0, steps0 = time.time(), actor_steps
+            logger.write({
+                "iteration": it + 1,
+                "actor_steps": actor_steps,
+                "learner_steps": int(metrics["learner_steps"]),
+                "actor_sps": sps,
+                "episode_return": float(metrics["mean_episode_return"]),
+                "reward": float(metrics["mean_reward"]),
+                "critic_loss": float(metrics["critic_loss"]),
+                "dual_temperature": float(metrics["dual_temperature"]),
+            })
+        if ckptr is not None:
+            ckptr.maybe_save(jax.device_get(loop), it)
+    logger.close()
+
+
+if __name__ == "__main__":
+    main()
