@@ -247,11 +247,14 @@ def solve(m: Model, d: Data, iterations: int | None = None) -> Data:
         return d.replace(qacc=d.qacc_smooth,
                          qfrc_constraint=jnp.zeros_like(d.qvel))
     efc = make_efc(m, d, meta)
+    # Fixed iteration counts (static shapes; no early-exit on TPU). With the
+    # exact cone Hessian, 6 iterations reach MuJoCo-level accuracy for
+    # typical in-simulation contact states; raise for pathological tests.
     niter = iterations if iterations is not None else min(
-        m.opt.solver_iterations, 12)
+        m.opt.solver_iterations, 6)
     from flybody_tpu.physics.solver import solve_newton
     x, f = solve_newton(d.qM, d.qacc_smooth, efc, meta, iterations=niter,
-                        ls_iterations=min(m.opt.ls_iterations, 8))
+                        ls_iterations=min(m.opt.ls_iterations, 6))
     qfrc = efc["J"].T @ f
     # pad efc_force into the fixed-size slot (selected rows only)
     ef = jnp.zeros((m.nefc,), dtype=x.dtype)

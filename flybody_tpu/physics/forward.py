@@ -128,10 +128,10 @@ def euler(m: Model, d: Data) -> Data:
     # Implicit-in-velocity joint damping (MuJoCo Euler):
     # (M + h*diag(damping)) qacc' = qfrc_smooth + qfrc_constraint.
     # Always applied; exact no-op when damping == 0.
+    from flybody_tpu.ops import linalg as LA
     MhB = d.qM + h * jnp.diag(m.dof_damping)
     rhs = d.qfrc_smooth + d.qfrc_constraint
-    qacc = jax.scipy.linalg.cho_solve(
-        (jax.scipy.linalg.cholesky(MhB, lower=True), True), rhs)
+    qacc = LA.cho_solve(LA.cholesky(MhB), rhs)
     qvel = d.qvel + h * qacc
     act = _integrate_act(m, d, h)
     qpos = _integrate_qpos(m, d.qpos, qvel, h)

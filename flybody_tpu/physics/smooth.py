@@ -109,13 +109,15 @@ def crb(m: Model, d: Data) -> Data:
     lower = jnp.where(mask, full, 0.0)                    # rows i, anc cols j
     qM = lower + lower.T - jnp.diag(jnp.diag(lower))
     qM = qM + jnp.diag(m.dof_armature)
-    qLD = jax.scipy.linalg.cholesky(qM, lower=True)
+    from flybody_tpu.ops import linalg as LA
+    qLD = LA.cholesky(qM)
     return d.replace(qM=qM, qLD=qLD)
 
 
 def solve_m(d: Data, rhs: jnp.ndarray) -> jnp.ndarray:
     """Solve qM x = rhs using the cached Cholesky factor."""
-    return jax.scipy.linalg.cho_solve((d.qLD, True), rhs)
+    from flybody_tpu.ops import linalg as LA
+    return LA.cho_solve(d.qLD, rhs)
 
 
 def rne(m: Model, d: Data) -> Data:

@@ -139,8 +139,9 @@ def solve_newton(M, a_smooth, efc, meta, iterations: int = 8,
         f, w, blocks = force(jar)
         grad = M @ (x - a_smooth) - J.T @ f
         H = M + (J.T * w) @ J + cone_JBJ(blocks, J) + 1e-9 * eye
-        L = jax.scipy.linalg.cholesky(H, lower=True)
-        p = -jax.scipy.linalg.cho_solve((L, True), grad)
+        from flybody_tpu.ops import linalg as LA
+        L = LA.cholesky(H)
+        p = -LA.cho_solve(L, grad)
         Jp = J @ p
         pMp = p @ (M @ p)
         pM_xa = p @ (M @ (x - a_smooth))
@@ -163,7 +164,7 @@ def solve_newton(M, a_smooth, efc, meta, iterations: int = 8,
 
         (hi, _), _ = jax.lax.scan(expand, (jnp.asarray(1.0, dtype),
                                            jnp.asarray(False)), None,
-                                  length=6)
+                                  length=3)
 
         def ls_step(carry, _):
             lo, hi_, alpha = carry

@@ -12,7 +12,7 @@ from flybody_tpu.physics import kinematics as K
 
 _TEST_XML = """
 <mujoco>
-  <option timestep="0.001"/>
+  <option timestep="0.001" jacobian="dense"/>
   <worldbody>
     <geom type="plane" size="5 5 .1" contype="0" conaffinity="0"/>
     <body name="b1" pos="0.1 0.2 0.6" quat="0.98 0.1 0.1 0.1">
