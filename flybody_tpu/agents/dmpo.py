@@ -69,6 +69,13 @@ class DMPOConfig:
     target_policy_update_period: int = 101
     target_critic_update_period: int = 107
     mpo: MPOConfig = MPOConfig()
+    # optional kickstarting distillation from a teacher policy
+    # (reference learning_dmpo.py:361-373): loss += eps * KL(teacher||pi)
+    kickstart_epsilon: float = 0.0
+    teacher_apply: Callable | None = None  # (obs)->NormalDiag, frozen
+    # optional KL-to-N(0,1) regularizer on the action distribution
+    # (reference learning_dmpo.py:376-385)
+    kl_to_prior_weight: float = 0.0
 
 
 def categorical_l2_project(z_p, probs, z_q):
@@ -157,12 +164,26 @@ class DMPOLearner:
 
     def _policy_loss(self, policy_params, dual_params, state: TrainState,
                      batch: Transition, a_t, q_values):
+        cfg = self.cfg
         online_dist = self.policy.apply(policy_params, batch.next_obs)
         target_dist = self.policy.apply(state.target_policy_params,
                                         batch.next_obs)
         loss, stats = losses_mpo.mpo_loss(
-            self.cfg.mpo, dual_params, online_dist, target_dist,
-            a_t, q_values)
+            cfg.mpo, dual_params, online_dist, target_dist, a_t, q_values)
+        if cfg.kickstart_epsilon > 0 and cfg.teacher_apply is not None:
+            teacher = cfg.teacher_apply(batch.next_obs)
+            kl_ks = jnp.mean(jnp.sum(losses_mpo.kl_normal_diag_per_dim(
+                teacher, online_dist), axis=-1))
+            loss = loss + cfg.kickstart_epsilon * kl_ks
+            stats["kickstart_kl"] = kl_ks
+        if cfg.kl_to_prior_weight > 0:
+            from flybody_tpu.agents.distributions import NormalDiag
+            prior = NormalDiag(jnp.zeros_like(online_dist.mean),
+                               jnp.ones_like(online_dist.stddev))
+            kl_prior = jnp.mean(jnp.sum(losses_mpo.kl_normal_diag_per_dim(
+                online_dist, prior), axis=-1))
+            loss = loss + cfg.kl_to_prior_weight * kl_prior
+            stats["kl_to_prior"] = kl_prior
         return loss, stats
 
     # ------------------------------------------------------------------
