@@ -21,8 +21,8 @@ import jax.numpy as jnp
 
 
 def main():
-    num_envs = int(os.environ.get("BENCH_NUM_ENVS", 1024))
-    iters = int(os.environ.get("BENCH_ITERS", 30))
+    num_envs = int(os.environ.get("BENCH_NUM_ENVS", 4096))
+    iters = int(os.environ.get("BENCH_ITERS", 20))
     from flybody_tpu.fly_envs import walk_on_ball
 
     env = walk_on_ball()

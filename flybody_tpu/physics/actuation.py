@@ -73,7 +73,10 @@ def adhesion_moment(m: Model, d: Data) -> Data:
         from flybody_tpu.physics import constraint as C
         jn, _ = C.contact_jacobians(m, d, slots=slots, dims=1)
         jn = jn[:, 0, :]                             # (S, nv)
-        active = (con.dist[slots] < con.includemargin[slots]).astype(dtype)
+        # adhesion acts across the full margin (incl. the gap zone — that is
+        # what geom gap exists for; reference adhesion-collision class sets
+        # margin=gap=0.0005)
+        active = (con.dist[slots] < m.con_margin[slots]).astype(dtype)
         count = jnp.sum(active)
         # normal jac is positive along the separating direction; adhesion
         # must oppose separation => moment = -mean(J_normal) * gear.

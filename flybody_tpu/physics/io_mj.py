@@ -168,6 +168,8 @@ def _sensor_code(mj_type: int) -> int:
             S.mjSENS_SUBTREECOM: T.SENS_SUBTREECOM,
             S.mjSENS_TENDONPOS: T.SENS_TENDONPOS,
             S.mjSENS_TENDONVEL: T.SENS_TENDONVEL,
+            S.mjSENS_SUBTREELINVEL: T.SENS_SUBTREELINVEL,
+            S.mjSENS_FRAMEZAXIS: T.SENS_FRAMEZAXIS,
         })
     code = _SENSOR_MAP.get(mj_type)
     if code is None:
@@ -192,6 +194,7 @@ def put_model(m, dtype=jnp.float32) -> Model:
     # precomputed host-side so collision() traces O(groups) not O(pairs).
     con_dim = []
     con_solref, con_solimp, con_fric, con_incmargin = [], [], [], []
+    con_margin_l = []
     for (g1, g2) in zip(pair_g1, pair_g2):
         p1, p2 = int(m.geom_priority[g1]), int(m.geom_priority[g2])
         if p1 != p2:
@@ -220,6 +223,7 @@ def put_model(m, dtype=jnp.float32) -> Model:
         con_solimp += [solimp] * k
         con_fric += [fric5] * k
         con_incmargin += [margin - gap] * k
+        con_margin_l += [margin] * k
 
     n_limit = int(m.jnt_limited.sum())
     nefc = n_limit + int(sum(con_dim))
@@ -286,6 +290,7 @@ def put_model(m, dtype=jnp.float32) -> Model:
         actuator_ctrllimited=s(m.actuator_ctrllimited),
         actuator_forcelimited=s(m.actuator_forcelimited),
         sensor_type=s(sensor_type), sensor_objid=s(m.sensor_objid),
+        sensor_objtype=s(m.sensor_objtype),
         sensor_adr=s(m.sensor_adr), sensor_dim=s(m.sensor_dim),
         pair_geom1=s(pair_g1), pair_geom2=s(pair_g2),
         pair_type=Static(np.array(pair_types, dtype=np.int32).reshape(-1, 2)),
@@ -340,6 +345,8 @@ def put_model(m, dtype=jnp.float32) -> Model:
                       else jnp.zeros((0, 5), dtype=dtype)),
         con_includemargin=(a(np.array(con_incmargin)) if con_incmargin
                            else jnp.zeros((0,), dtype=dtype)),
+        con_margin=(a(np.array(con_margin_l)) if con_margin_l
+                    else jnp.zeros((0,), dtype=dtype)),
     )
 
 

@@ -143,13 +143,35 @@ def sensor(m: Model, d: Data) -> Data:
             out = out.at[a].set(d.qvel[np.asarray(m.jnt_dofadr)[oid]])
         elif st == T.SENS_ACTUATORFRC:
             out = out.at[a].set(d.actuator_force[oid])
-        elif st == T.SENS_FRAMEPOS:
-            out = out.at[a:a + 3].set(d.site_xpos[oid])
-        elif st == T.SENS_FRAMEQUAT:
-            from flybody_tpu.math import quaternions as mq
-            out = out.at[a:a + 4].set(mq.mat_to_quat(d.site_xmat[oid]))
+        elif st in (T.SENS_FRAMEPOS, T.SENS_FRAMEQUAT, T.SENS_FRAMEZAXIS):
+            objtype = int(np.asarray(m.sensor_objtype)[i])
+            if objtype == 6:       # mjOBJ_SITE
+                pos, mat = d.site_xpos[oid], d.site_xmat[oid]
+            elif objtype == 5:     # mjOBJ_GEOM
+                pos, mat = d.geom_xpos[oid], d.geom_xmat[oid]
+            else:                  # mjOBJ_BODY / mjOBJ_XBODY
+                pos, mat = d.xpos[oid], d.xmat[oid]
+            if st == T.SENS_FRAMEPOS:
+                out = out.at[a:a + 3].set(pos)
+            elif st == T.SENS_FRAMEZAXIS:
+                out = out.at[a:a + 3].set(mat[:, 2])
+            else:
+                from flybody_tpu.math import quaternions as mq
+                out = out.at[a:a + 4].set(mq.mat_to_quat(mat))
         elif st == T.SENS_SUBTREECOM:
             out = out.at[a:a + 3].set(d.subtree_com[oid])
+        elif st == T.SENS_SUBTREELINVEL:
+            # mass-weighted subtree com velocity
+            off = d.xipos - d.subtree_com[root]
+            vcom = d.cvel[:, 3:] + jnp.cross(d.cvel[:, :3], off)
+            mom = m.body_mass[:, None] * vcom
+            acc = mom
+            for level in reversed(m.body_tree):
+                lev = np.asarray(level)
+                pid = np.asarray(m.body_parentid)[lev]
+                acc = acc.at[pid].add(acc[lev])
+            out = out.at[a:a + 3].set(
+                acc[oid] / jnp.maximum(m.body_subtreemass[oid], 1e-12))
         elif st == T.SENS_TENDONPOS:
             out = out.at[a].set(d.ten_length[oid])
         elif st == T.SENS_TENDONVEL:

@@ -82,6 +82,8 @@ SENS_FRAMEQUAT = 9
 SENS_SUBTREECOM = 10
 SENS_TENDONPOS = 11
 SENS_TENDONVEL = 12
+SENS_SUBTREELINVEL = 13
+SENS_FRAMEZAXIS = 14
 
 
 class Static(np.ndarray):
@@ -165,7 +167,8 @@ _MODEL_META = (
     "actuator_trntype", "actuator_dyntype", "actuator_gaintype",
     "actuator_biastype", "actuator_trnid", "actuator_actadr",
     "actuator_ctrllimited", "actuator_forcelimited",
-    "sensor_type", "sensor_objid", "sensor_adr", "sensor_dim",
+    "sensor_type", "sensor_objid", "sensor_objtype", "sensor_adr",
+    "sensor_dim",
     "pair_geom1", "pair_geom2", "pair_type",  # candidate collision pairs
     "con_dim",  # per-contact-slot condim (static, from pair geoms)
     "names",
@@ -210,7 +213,7 @@ class Model:
     actuator_gaintype: Static; actuator_biastype: Static
     actuator_trnid: Static; actuator_actadr: Static
     actuator_ctrllimited: Static; actuator_forcelimited: Static
-    sensor_type: Static; sensor_objid: Static
+    sensor_type: Static; sensor_objid: Static; sensor_objtype: Static
     sensor_adr: Static; sensor_dim: Static
     pair_geom1: Static; pair_geom2: Static; pair_type: Static
     con_dim: Static
@@ -250,6 +253,7 @@ class Model:
     con_solimp: jax.Array       # (ncon_max, 5)
     con_friction: jax.Array     # (ncon_max, 5)
     con_includemargin: jax.Array  # (ncon_max,)
+    con_margin: jax.Array       # (ncon_max,) full margin (adhesion zone)
 
 
 @pytree(meta=())

