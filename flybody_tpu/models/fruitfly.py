@@ -348,6 +348,9 @@ class FlyConfig:
     root_joint: str = "free"
     spawn_pos: tuple = (0.0, 0.0, 0.0)
     spawn_quat: tuple = (1.0, 0.0, 0.0, 0.0)
+    # per-geom ellipsoid fluid model on the wings — flight tasks only
+    # (reference tasks/base.py:309-313 activates it at task build)
+    wing_fluid: bool = False
 
 
 def apply_surgery(morph: Morphology, cfg: FlyConfig) -> Morphology:
@@ -486,7 +489,7 @@ def to_spec(morph: Morphology, cfg: FlyConfig,
                 friction=g.friction, solref=g.solref, solimp=g.solimp,
                 solmix=g.solmix, margin=g.margin, gap=g.gap,
                 priority=g.priority, group=g.group, rgba=g.rgba, mass=0.0)
-            if g.fluidshape:
+            if g.fluidshape and cfg.wing_fluid:
                 hg.fluid_ellipsoid = 1
                 hg.fluid_coefs = np.asarray(g.fluidcoef)
         for s in b.sites:

@@ -119,11 +119,15 @@ def fluid_ellipsoid(m: Model, d: Data) -> jnp.ndarray:
     """Per-geom ellipsoid fluid model (wings). Returns (nbody, 6) spatial
     forces at com-root origin; zero unless the geom opts in via fluidshape.
 
-    Implements MuJoCo's ellipsoid fluid-interaction model: added-mass terms
-    are omitted (they require qacc; MuJoCo folds them into the implicit
-    integrator — we fold the dominant resistive terms only), which matches
-    the magnitude hierarchy for drosophila-scale wings where drag/lift
-    dominate. Validated statistically against the oracle in tests.
+    Term forms were identified against the MuJoCo oracle by isolating each
+    fluidcoef (tests/test_fluid.py): viscous Stokes terms with the
+    mean-semi-axis equivalent sphere; blunt drag -rho*Cb*A_proj*|v|v and
+    slender drag -rho*Cs*(A_max - A_proj)*|v|v (no 1/2 factor; A_proj
+    exact ellipsoid projected area); angular drag with per-axis moment
+    (8/15)*pi*r_i*max(r_j,r_k)^4; Magnus force C_m * w x ((rho*V - m_v)*v)
+    with the precomputed virtual mass m_v (mjModel.geom_fluid[6:9]).
+    Kutta lift is approximate (TODO: exact closed form); added-mass
+    d(v)/dt terms are omitted.
     """
     dtype = d.qpos.dtype
     active = np.asarray(m.geom_fluid_active)
@@ -142,48 +146,56 @@ def fluid_ellipsoid(m: Model, d: Data) -> jnp.ndarray:
     lin = jnp.einsum("gji,gj->gi", R, lin_w - m.opt.wind.astype(dtype))
 
     fl = m.geom_fluid[gids]
-    # layout (mjNFLUID=12): [active, blunt_drag, slender_drag, ang_drag,
-    #                        kutta_lift, magnus_lift, semiaxes(3), vmass?(3)]
+    # mjModel.geom_fluid layout (mjNFLUID=12):
+    # [active, Cblunt, Cslender, Cang, Ckutta, Cmagnus,
+    #  virtual_mass(3), virtual_inertia(3)]
     c_blunt, c_slender, c_ang = fl[:, 1], fl[:, 2], fl[:, 3]
     c_kutta, c_magnus = fl[:, 4], fl[:, 5]
-    s = fl[:, 6:9]  # semi-axes
+    vmass = fl[:, 6:9]
+    s = m.geom_size[gids]  # ellipsoid semi-axes
     sx, sy, sz = s[:, 0], s[:, 1], s[:, 2]
     rho, beta = m.opt.density, m.opt.viscosity
 
-    # ----- viscous resistance (equivalent sphere) -----
-    d_eq = (sx + sy + sz) / 3.0
-    frc = -6.0 * _PI * d_eq[:, None] * beta * lin
-    trq = -8.0 * _PI * (d_eq ** 3)[:, None] * beta * ang
+    # ----- viscous resistance (equivalent sphere, r = mean semi-axis) ----
+    r_eq = (sx + sy + sz) / 3.0
+    frc = -6.0 * _PI * r_eq[:, None] * beta * lin
+    trq = -8.0 * _PI * (r_eq ** 3)[:, None] * beta * ang
 
-    # ----- quadratic angular drag -----
-    # moments of projected areas, per MuJoCo's ellipsoid model
-    I_ang = jnp.stack([
-        sy * sz * jnp.maximum(sy, sz) ** 3,
-        sx * sz * jnp.maximum(sx, sz) ** 3,
-        sx * sy * jnp.maximum(sx, sy) ** 3], axis=-1)
-    trq = trq - rho * c_ang[:, None] * I_ang * jnp.abs(ang) * ang * (8.0 / 15.0) * _PI
+    # ----- quadratic angular drag: I_i = (8/15) pi r_i max(r_j,r_k)^4 ----
+    I_ang = (8.0 / 15.0) * _PI * jnp.stack([
+        sx * jnp.maximum(sy, sz) ** 4,
+        sy * jnp.maximum(sx, sz) ** 4,
+        sz * jnp.maximum(sx, sy) ** 4], axis=-1)
+    # per-axis |w_i| w_i (oracle-verified; small off-axis coupling terms
+    # of the exact model are not reproduced)
+    trq = trq - rho * c_ang[:, None] * I_ang * jnp.abs(ang) * ang
 
-    # ----- blunt + slender quadratic drag -----
+    # ----- blunt + slender quadratic drag (exact projected area) -----
     speed = jnp.linalg.norm(lin, axis=-1, keepdims=True)
-    A_proj = _PI * jnp.stack([sy * sz, sx * sz, sx * sy], axis=-1)
-    # projected area along velocity direction (approx: quadrature of axes)
-    dirn = lin / jnp.maximum(speed, 1e-12)
-    A_v = jnp.sqrt(jnp.sum((A_proj * dirn) ** 2, axis=-1, keepdims=True))
-    A_max = jnp.max(A_proj, axis=-1, keepdims=True)
-    drag = (rho * c_blunt[:, None] * A_v
-            + rho * c_slender[:, None] * (A_max - A_v))
+    u = lin / jnp.maximum(speed, 1e-12)
+    pair = jnp.stack([sy * sz, sx * sz, sx * sy], axis=-1)
+    A_proj = _PI * jnp.sqrt(jnp.sum((pair * u) ** 2, axis=-1,
+                                    keepdims=True))
+    A_max = _PI * jnp.max(pair, axis=-1, keepdims=True)
+    drag = (rho * c_blunt[:, None] * A_proj
+            + rho * c_slender[:, None] * jnp.maximum(A_max - A_proj, 0.0))
     frc = frc - drag * speed * lin
 
-    # ----- Kutta lift -----
-    # lift ~ rho * C_K * A * |v| * (v projected off the surface normal)
-    normal = jnp.zeros_like(lin).at[:, 2].set(1.0)  # thin axis ~ z (wings)
-    v_n = jnp.sum(lin * normal, axis=-1, keepdims=True)
-    lift_dir = v_n * (v_n * normal - lin)
-    frc = frc + rho * c_kutta[:, None] * A_max * lift_dir / jnp.maximum(speed, 1e-12)
+    # ----- Kutta lift (approximate closed form) -----
+    # surface-normal direction ~ normalize(v / r^2); lift perpendicular to
+    # v in the (v, n) plane, magnitude ~ rho*Ck*A_proj*(u.n)*|v|^2
+    nvec = lin / jnp.maximum(s * s, 1e-12)
+    nhat = nvec / jnp.maximum(
+        jnp.linalg.norm(nvec, axis=-1, keepdims=True), 1e-12)
+    cosun = jnp.sum(u * nhat, axis=-1, keepdims=True)
+    lift_dir = jnp.cross(jnp.cross(nhat, u), u)
+    frc = frc + (rho * c_kutta[:, None] * A_proj * cosun
+                 * speed * speed) * lift_dir
 
-    # ----- Magnus lift -----
+    # ----- Magnus: C_m * w x ((rho V - m_virtual) * v) -----
     vol = (4.0 / 3.0) * _PI * (sx * sy * sz)
-    frc = frc + rho * c_magnus[:, None] * vol[:, None] * jnp.cross(ang, lin)
+    weighted_v = (rho * vol[:, None] - vmass) * lin
+    frc = frc + c_magnus[:, None] * jnp.cross(ang, weighted_v)
 
     # rotate to world, shift to com-root origin, scatter-add per body
     frc_w = jnp.einsum("gij,gj->gi", R, frc)

@@ -188,7 +188,7 @@ def make_flight_imitation(ref_path: str | None = None,
         body_pitch_angle=C.BODY_PITCH_ANGLE,
         physics_timestep=C.FLY_PHYSICS_TIMESTEP,
         control_timestep=C.FLY_CONTROL_TIMESTEP,
-        num_user_actions=1)
+        num_user_actions=1, wing_fluid=True)
     morph = ff.apply_surgery(ff.load_morphology(), cfg)
     # Flying-base model config (reference tasks/base.py:264-330):
     # wing actuator gain, wing joint stiffness/damping, wing fluid coefs.

@@ -225,7 +225,7 @@ def make_vision_flight(bumps_or_trench: str = "trench",
         root_joint="free", body_pitch_angle=C.BODY_PITCH_ANGLE,
         physics_timestep=C.FLY_PHYSICS_TIMESTEP,
         control_timestep=C.FLY_CONTROL_TIMESTEP,
-        num_user_actions=1, eye_camera_size=eye_size)
+        num_user_actions=1, eye_camera_size=eye_size, wing_fluid=True)
     morph = ff.apply_surgery(ff.load_morphology(), cfg)
     wing_jnames = [f"wing_{ax}_{side}" for side in ("left", "right")
                    for ax in ("yaw", "roll", "pitch")]

@@ -39,8 +39,12 @@ def test_adhesion_matches_mujoco():
     d = d.replace(qpos=jnp.asarray(mjd.qpos), ctrl=jnp.asarray(mjd.ctrl))
     d = F.forward(model, d)
 
-    np.testing.assert_allclose(d.actuator_moment.reshape(-1),
-                               mjd.actuator_moment.reshape(-1), atol=1e-9)
+    # mujoco 3.x stores actuator_moment sparse; densify for comparison
+    dense = np.zeros((mj_model.nu, mj_model.nv))
+    mujoco.mju_sparse2dense(dense, mjd.actuator_moment.reshape(-1),
+                            mjd.moment_rownnz, mjd.moment_rowadr,
+                            mjd.moment_colind.reshape(-1))
+    np.testing.assert_allclose(d.actuator_moment, dense, atol=1e-9)
     np.testing.assert_allclose(d.actuator_force, mjd.actuator_force,
                                atol=1e-9)
     np.testing.assert_allclose(d.qfrc_actuator, mjd.qfrc_actuator,

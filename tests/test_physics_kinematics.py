@@ -137,12 +137,7 @@ def test_tendon_matches_mujoco(setup):
     d = K.kinematics(model, d)
     d = K.tendon(model, d)
     np.testing.assert_allclose(d.ten_length, mjd.ten_length, atol=1e-12)
-    # mujoco >= 3.x stores ten_J sparse; densify via the row/col tables
-    dense = np.zeros((mj_model.ntendon, mj_model.nv))
-    flat = np.asarray(mjd.ten_J).reshape(-1)
-    for t in range(mj_model.ntendon):
-        adr = int(mjd.ten_J_rowadr[t])
-        nnz = int(mjd.ten_J_rownnz[t])
-        cols = np.asarray(mjd.ten_J_colind).reshape(-1)[adr:adr + nnz]
-        dense[t, cols] = flat[adr:adr + nnz]
-    np.testing.assert_allclose(d.ten_moment, dense, atol=1e-12)
+    # dense jacobians enabled in the test XML option
+    np.testing.assert_allclose(
+        d.ten_moment, np.asarray(mjd.ten_J).reshape(mj_model.ntendon, -1),
+        atol=1e-12)
