@@ -52,11 +52,18 @@ def make_rollout_fn(env, policy_apply, cfg: RolloutConfig,
 
     def rollout(params, env_states, rng):
         def one(carry, _):
-            states, rng_ = carry
+            states, rng_, delay_buf = carry
             rng_, k_act, k_reset = jax.random.split(rng_, 3)
             obs_flat = jax.vmap(batch_concat)(states.obs)
             dist = policy_apply(params, obs_flat)
             canonical = dist.sample(k_act) if stochastic else dist.mode()
+            if action_delay > 0:
+                # fixed action-delay queue (reference DelayedFeedForward
+                # Actor, agents/actors.py:79-86)
+                delayed = delay_buf[0]
+                delay_buf = jnp.concatenate(
+                    [delay_buf[1:], canonical[None]], axis=0)
+                canonical = delayed
             actions = canonical_to_real(canonical, lo, hi)
             stepped = vstep(states, actions)
             obs_after = jax.vmap(batch_concat)(stepped.obs)
@@ -71,10 +78,14 @@ def make_rollout_fn(env, policy_apply, cfg: RolloutConfig,
                        reward=stepped.reward, discount=stepped.discount,
                        done=stepped.done, obs_after=obs_after,
                        episode_return=stepped.metrics["episode_return"])
-            return (next_states, rng_), out
+            return (next_states, rng_, delay_buf), out
 
-        (env_states, rng), traj = jax.lax.scan(
-            one, (env_states, rng), None, length=cfg.unroll_length)
+        n_env = jax.tree.leaves(env_states.obs)[0].shape[0]
+        delay_buf0 = jnp.zeros((max(action_delay, 1), n_env,
+                                lo.shape[0]), jnp.float32)
+        (env_states, rng, _), traj = jax.lax.scan(
+            one, (env_states, rng, delay_buf0), None,
+            length=cfg.unroll_length)
         transitions = nstep_from_trajectory(traj, cfg)
         metrics = {
             "mean_reward": jnp.mean(traj["reward"]),

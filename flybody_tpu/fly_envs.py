@@ -47,3 +47,12 @@ def flight_imitation(ref_path: str | None = None, wpg_pattern_path=None,
     return make_flight_imitation(ref_path=ref_path,
                                  wpg_pattern_path=wpg_pattern_path,
                                  time_limit=time_limit, dtype=dtype)
+
+
+def vision_guided_flight(bumps_or_trench: str = "trench",
+                         time_limit: float = 0.4, dtype=jnp.float32):
+    """Vision-guided flight over procedural terrain
+    (reference fly_envs.vision_guided_flight:160-206)."""
+    from flybody_tpu.tasks.vision_flight import make_vision_flight
+    return make_vision_flight(bumps_or_trench=bumps_or_trench,
+                              time_limit=time_limit, dtype=dtype)

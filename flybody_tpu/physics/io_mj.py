@@ -222,8 +222,11 @@ def put_model(m, dtype=jnp.float32) -> Model:
         con_solref += [solref] * k
         con_solimp += [solimp] * k
         con_fric += [fric5] * k
-        con_incmargin += [margin - gap] * k
+        # MuJoCo >= 3.x: contact.includemargin == margin (gap does not
+        # shrink the constraint zone; verified empirically vs the oracle)
+        con_incmargin += [margin] * k
         con_margin_l += [margin] * k
+        del gap
 
     n_limit = int(m.jnt_limited.sum())
     nefc = n_limit + int(sum(con_dim))

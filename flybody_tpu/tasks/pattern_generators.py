@@ -93,8 +93,11 @@ class WingBeatPatternGenerator:
         ptable = np.full((num_freqs, max_len), 1e9, np.float32)
         for i, (tr, ph) in enumerate(zip(trajs, phases)):
             table[i, :len(tr)] = tr
-            table[i, len(tr):] = tr[:max_len - len(tr)] \
-                if len(tr) < max_len else 0
+            if len(tr) < max_len:
+                # cyclic fill keeps padded reads on-pattern (never indexed
+                # in steady state: step wraps at cycle_len)
+                idx = np.arange(len(tr), max_len) % len(tr)
+                table[i, len(tr):] = tr[idx]
             ptable[i, :len(ph)] = ph
         self.table = jnp.asarray(table)
         self.phase_table = jnp.asarray(ptable)

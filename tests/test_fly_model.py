@@ -21,14 +21,15 @@ def fly_on_ball():
                        spawn_pos=(0.0, 0.0, 0.1278),
                        physics_timestep=C.WALK_PHYSICS_TIMESTEP)
     morph = ff.apply_surgery(ff.load_morphology(), cfg)
-    # Ellipsoid-vs-convex narrowphase is not implemented yet (pairs are
-    # dropped at model build); disable those geoms' contacts in the oracle
-    # too so the comparison is like-for-like. TODO(round 2): ellipsoid
-    # contacts, then remove this.
+    # Ellipsoid/cylinder-vs-convex narrowphase is not implemented yet
+    # (pairs are dropped at model build); disable those geoms' contacts in
+    # the oracle too so the comparison is like-for-like. TODO(round 2):
+    # smooth convex narrowphase, then remove this.
     import mujoco as _mj
     for b in morph.bodies:
         for g in b.geoms:
-            if g.gtype == int(_mj.mjtGeom.mjGEOM_ELLIPSOID):
+            if g.gtype in (int(_mj.mjtGeom.mjGEOM_ELLIPSOID),
+                           int(_mj.mjtGeom.mjGEOM_CYLINDER)):
                 g.contype = 0
                 g.conaffinity = 0
     spec = ff.to_spec(morph, cfg, arena_fn=ball_arena())

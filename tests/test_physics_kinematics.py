@@ -137,7 +137,15 @@ def test_tendon_matches_mujoco(setup):
     d = K.kinematics(model, d)
     d = K.tendon(model, d)
     np.testing.assert_allclose(d.ten_length, mjd.ten_length, atol=1e-12)
-    # dense jacobians enabled in the test XML option
-    np.testing.assert_allclose(
-        d.ten_moment, np.asarray(mjd.ten_J).reshape(mj_model.ntendon, -1),
-        atol=1e-12)
+    # mujoco 3.x compresses ten_J to nonzero values in wrap order;
+    # compare our dense moment gathered at the wrap joints' dofs
+    ours = np.asarray(d.ten_moment)
+    vals = np.asarray(mjd.ten_J).reshape(mj_model.ntendon, -1)
+    for t in range(mj_model.ntendon):
+        adr, num = mj_model.tendon_adr[t], mj_model.tendon_num[t]
+        jids = mj_model.wrap_objid[adr:adr + num]
+        dofs = mj_model.jnt_dofadr[jids]
+        np.testing.assert_allclose(ours[t, dofs], vals[t, :num], atol=1e-12)
+        mask = np.ones(mj_model.nv, bool)
+        mask[dofs] = False
+        np.testing.assert_allclose(ours[t, mask], 0.0, atol=1e-12)
