@@ -184,6 +184,65 @@ def _capsule_box(p1, m1, s1, p2, m2, s2):
     return d[idx], jnp.stack(ps)[idx], jnp.stack(ns)[idx]
 
 
+def _ellipsoid_surface_point(c, R, s, p):
+    """Approximate closest point on an ellipsoid to world point p, plus the
+    outward surface normal there. Scaled-space (ellipsoid -> unit sphere)
+    projection: exact for spheres, good for mild aspect ratios (the fly's
+    thorax/head collision ellipsoids are near-spherical)."""
+    local = R.T @ (p - c)
+    z = local / jnp.maximum(s, 1e-12)
+    zn = jnp.linalg.norm(z)
+    q_local = (z / jnp.maximum(zn, 1e-12)) * s
+    # outward normal of the ellipsoid at q_local: grad(x^2/s^2) ~ q/s^2
+    n_local = q_local / jnp.maximum(s * s, 1e-12)
+    n_local = n_local / jnp.maximum(jnp.linalg.norm(n_local), 1e-12)
+    inside = zn < 1.0
+    return c + R @ q_local, R @ n_local, inside
+
+
+def _sphere_ellipsoid(p1, m1, s1, p2, m2, s2):
+    q, n, inside = _ellipsoid_surface_point(p2, m2, s2, p1)
+    # signed distance of sphere center along the local normal
+    d_c = jnp.dot(n, p1 - q)
+    d_c = jnp.where(inside, -jnp.abs(d_c), d_c)
+    dist = d_c - s1[0]
+    # normal points g1(sphere) -> g2(ellipsoid)
+    pos = p1 - n * (s1[0] + 0.5 * dist)
+    return dist[None], pos[None], (-n)[None]
+
+
+def _capsule_ellipsoid(p1, m1, s1, p2, m2, s2):
+    """Capsule vs ellipsoid: fixed-point alternation between the segment
+    and the (approximate) ellipsoid surface projection."""
+    axis = m1[:, 2]
+    A, B = p1 - s1[1] * axis, p1 + s1[1] * axis
+    p = p1
+    for _ in range(4):
+        q, n, inside = _ellipsoid_surface_point(p2, m2, s2, p)
+        p = _closest_on_seg(q, A, B)
+    q, n, inside = _ellipsoid_surface_point(p2, m2, s2, p)
+    d_c = jnp.dot(n, p - q)
+    d_c = jnp.where(inside, -jnp.abs(d_c), d_c)
+    dist = d_c - s1[0]
+    pos = p - n * (s1[0] + 0.5 * dist)
+    return dist[None], pos[None], (-n)[None]
+
+
+def _ellipsoid_ellipsoid(p1, m1, s1, p2, m2, s2):
+    """Ellipsoid pair via alternating surface projections (approximate)."""
+    p = p1
+    for _ in range(4):
+        q2, n2, in2 = _ellipsoid_surface_point(p2, m2, s2, p)
+        q1, n1, in1 = _ellipsoid_surface_point(p1, m1, s1, q2)
+        p = q1
+    q2, n2, in2 = _ellipsoid_surface_point(p2, m2, s2, q1)
+    gapv = jnp.dot(n2, q1 - q2)
+    overlap = in1 | in2
+    dist = jnp.where(overlap, -jnp.abs(gapv), gapv)
+    pos = 0.5 * (q1 + q2)
+    return dist[None], pos[None], (-n2)[None]
+
+
 def _capsule_capsule(p1, m1, s1, p2, m2, s2):
     # closest points between two segments (branchless, clamped)
     a1 = m1[:, 2] * s1[1]
@@ -270,9 +329,12 @@ def _dispatch(m: Model, t1: int, t2: int):
         (T.GEOM_PLANE, T.GEOM_BOX): _plane_box,
         (T.GEOM_SPHERE, T.GEOM_SPHERE): _sphere_sphere,
         (T.GEOM_SPHERE, T.GEOM_CAPSULE): _sphere_capsule,
+        (T.GEOM_SPHERE, T.GEOM_ELLIPSOID): _sphere_ellipsoid,
         (T.GEOM_SPHERE, T.GEOM_BOX): _sphere_box,
         (T.GEOM_CAPSULE, T.GEOM_CAPSULE): _capsule_capsule,
+        (T.GEOM_CAPSULE, T.GEOM_ELLIPSOID): _capsule_ellipsoid,
         (T.GEOM_CAPSULE, T.GEOM_BOX): _capsule_box,
+        (T.GEOM_ELLIPSOID, T.GEOM_ELLIPSOID): _ellipsoid_ellipsoid,
     }
     if (t1, t2) in table:
         return table[(t1, t2)]

@@ -227,15 +227,27 @@ def make_efc(m: Model, d: Data, meta: EfcMeta):
 
     if not rows_J:
         return None
-    # rows are appended group-major but friction rows of a group were added
-    # per-direction in K-blocks; reorder bookkeeping: layout is
-    # [limits][g1 normals(K)][g1 t1(K)][g1 t2(K)][g2 ...]
+    # row layout: [limits][g1 normals(K)][g1 t1(K)][g1 t2(K)][g2 ...]
     J = jnp.concatenate(rows_J, axis=0)
     aref = jnp.concatenate(rows_aref, axis=0)
     D = jnp.concatenate(rows_D, axis=0)
     pos = jnp.concatenate(rows_pos, axis=0)
+    # MuJoCo creates a row only when dist < includemargin; rows outside the
+    # zone must produce no force even when approaching fast. Friction rows
+    # share their contact's activity (their pos was stored as 0; gate them
+    # via the normal row's pos in the solver cone loop — here the scalar
+    # mask uses each row's own pos, with friction rows' pos replicated).
+    row_active = pos < 0.0
+    # replicate normal-row activity onto friction rows
+    for (start, cd, K) in cones:
+        ndim = min(cd, 3)
+        if ndim > 1:
+            n_act = row_active[start:start + K]
+            for t in range(1, ndim):
+                row_active = row_active.at[
+                    start + t * K: start + (t + 1) * K].set(n_act)
     return dict(J=J, aref=aref, D=D, pos=pos, cones=tuple(cones),
-                sels=tuple(sels),
+                sels=tuple(sels), row_active=row_active,
                 mu=(jnp.stack(mu_list) if mu_list else
                     jnp.zeros((0,), dtype=dtype)))
 

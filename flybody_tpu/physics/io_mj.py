@@ -39,13 +39,16 @@ _PAIR_NCON = {
     (T.GEOM_HFIELD, T.GEOM_CAPSULE): 2,
     (T.GEOM_SPHERE, T.GEOM_SPHERE): 1,
     (T.GEOM_SPHERE, T.GEOM_CAPSULE): 1,
+    (T.GEOM_SPHERE, T.GEOM_ELLIPSOID): 1,
     (T.GEOM_SPHERE, T.GEOM_BOX): 1,
     (T.GEOM_CAPSULE, T.GEOM_CAPSULE): 1,
+    (T.GEOM_CAPSULE, T.GEOM_ELLIPSOID): 1,
     (T.GEOM_CAPSULE, T.GEOM_BOX): 2,
+    (T.GEOM_ELLIPSOID, T.GEOM_ELLIPSOID): 1,
 }
-# NOTE: ellipsoid-vs-convex pairs (wing membranes / thorax self-collisions)
-# are not yet narrowphased — candidate pairs of unsupported types are
-# dropped at model build. TODO(round 2): support-function ellipsoid contact.
+# NOTE: ellipsoid narrowphase uses scaled-space projections (approximate;
+# exact for spheres). Cylinder-vs-convex pairs are still dropped at model
+# build. TODO(round 2): exact smooth-convex narrowphase.
 
 
 def _names(m) -> dict:

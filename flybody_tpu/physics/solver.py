@@ -71,11 +71,12 @@ def make_cost_fns(meta, efc):
     D = efc["D"]
     cones = efc["cones"]
     mu_all = efc["mu"]
+    row_active = efc["row_active"].astype(D.dtype)
 
     def force(jar):
         y = -D * jar
-        f = jnp.where(jar < 0, y, 0.0)
-        w = jnp.where(jar < 0, D, 0.0)
+        f = jnp.where(jar < 0, y, 0.0) * row_active
+        w = jnp.where(jar < 0, D, 0.0) * row_active
         blocks = []
         mu_idx = 0
         for (start, cd, K) in cones:
@@ -90,8 +91,10 @@ def make_cost_fns(meta, efc):
             y_c = -Dn[:, None] * jar_c
             mu = mu_all[mu_idx]
             mu_idx += 1
+            act = row_active[start:start + K]              # (K,)
             f_c, dP = _cone_force_blocks(y_c, mu)
-            B = Dn[:, None, None] * dP                     # (K, 3, 3)
+            f_c = f_c * act[:, None]
+            B = (Dn * act)[:, None, None] * dP             # (K, 3, 3)
             for t in range(ndim):
                 f = f.at[start + t * K: start + (t + 1) * K].set(f_c[:, t])
                 w = w.at[start + t * K: start + (t + 1) * K].set(0.0)

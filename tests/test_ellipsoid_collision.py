@@ -1,0 +1,75 @@
+"""Sanity tests for the approximate ellipsoid narrowphase (direction and
+sign correctness vs the MuJoCo oracle; magnitudes are approximate)."""
+
+import mujoco
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from flybody_tpu.physics import forward as F
+from flybody_tpu.physics import io_mj
+
+_XML = """
+<mujoco>
+  <option cone="elliptic" gravity="0 0 0"/>
+  <worldbody>
+    <body name="ell" pos="0 0 1">
+      <freejoint/>
+      <geom type="ellipsoid" size=".1 .12 .09" mass="1"/>
+    </body>
+    <body name="cap" pos="0 0 1.3">
+      <freejoint/>
+      <geom type="capsule" size=".05" fromto="-.1 0 0 .1 0 0" mass=".5"/>
+    </body>
+    <body name="sph" pos="0.4 0 1">
+      <freejoint/>
+      <geom type="sphere" size=".06" mass=".2"/>
+    </body>
+  </worldbody>
+</mujoco>
+"""
+
+
+@pytest.fixture(scope="module")
+def setup():
+    mj_model = mujoco.MjModel.from_xml_string(_XML)
+    return mj_model, io_mj.put_model(mj_model, dtype=jnp.float64)
+
+
+def _dist_for(model, d, g1, g2):
+    cg1 = np.asarray(d.contact.geom1)
+    cg2 = np.asarray(d.contact.geom2)
+    for k in range(model.ncon_max):
+        if {int(cg1[k]), int(cg2[k])} == {g1, g2}:
+            return float(d.contact.dist[k])
+    raise AssertionError(
+        f"pair not found: {list(zip(cg1.tolist(), cg2.tolist()))}")
+
+
+@pytest.mark.parametrize("cap_z,expect_sign", [(1.20, 1), (1.10, -1)])
+def test_capsule_ellipsoid_distance_sign(setup, cap_z, expect_sign):
+    mj_model, model = setup
+    mjd = mujoco.MjData(mj_model)
+    mjd.qpos[9] = cap_z          # capsule z (second freejoint)
+    mujoco.mj_forward(mj_model, mjd)
+    d = io_mj.make_data(model, dtype=jnp.float64)
+    d = d.replace(qpos=jnp.asarray(mjd.qpos))
+    d = F.fwd_position(model, d)
+    # geom ids by definition order: 0 ell, 1 cap, 2 sph
+    dist = _dist_for(model, d, 1, 0)
+    # capsule bottom at z - 0.05, ellipsoid top at 1.09
+    expected = (cap_z - 0.05) - 1.09
+    assert np.sign(dist) == expect_sign
+    assert abs(dist - expected) < 0.02, (dist, expected)
+
+
+def test_sphere_ellipsoid_distance(setup):
+    mj_model, model = setup
+    mjd = mujoco.MjData(mj_model)
+    mujoco.mj_forward(mj_model, mjd)
+    d = io_mj.make_data(model, dtype=jnp.float64)
+    d = F.fwd_position(model, d)
+    dist = _dist_for(model, d, 0, 2)
+    # sphere at x=0.4, ellipsoid +x semi-axis 0.1, sphere r 0.06
+    assert abs(dist - (0.4 - 0.1 - 0.06)) < 0.01, dist
