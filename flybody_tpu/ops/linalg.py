@@ -21,17 +21,29 @@ import jax.numpy as jnp
 
 
 def _unblocked_cholesky(A):
-    """Cholesky of (..., r, r) via r-step outer-product scan (r small)."""
+    """Cholesky of (..., r, r) via r-step outer-product scan (r small).
+
+    Callers feed Jacobi-scaled (unit-diagonal) matrices, so pivots of a
+    well-posed SPD input lie in (0, 1]. Flooring the pivot (coarser in
+    float32) regularizes rank-deficient directions instead of overflowing
+    1/sqrt(tiny) into inf/NaN.
+    """
     r = A.shape[-1]
     L = jnp.zeros_like(A)
+    floor = 1e-6 if A.dtype == jnp.float32 else 1e-14
 
     def body(carry, j):
         S, L = carry
-        d = jnp.sqrt(jnp.maximum(S[..., j, j], 1e-30))
+        sjj = S[..., j, j]
+        ok = sjj > floor
+        d = jnp.sqrt(jnp.maximum(sjj, floor))
         col = S[..., :, j] / d[..., None]
-        # zero entries above the diagonal
         mask = (jnp.arange(r) >= j).astype(A.dtype)
-        col = col * mask
+        diag_only = (jnp.arange(r) == j).astype(A.dtype)
+        # rank-deficient pivot: keep only the (floored) diagonal entry so
+        # downstream solves stay bounded instead of amplifying noise
+        col = jnp.where(ok[..., None], col * mask,
+                        d[..., None] * diag_only)
         L = L.at[..., :, j].set(col)
         S = S - col[..., :, None] * col[..., None, :]
         return (S, L), None
@@ -60,8 +72,28 @@ def _solve_tri_small(L, B, lower=True):
 
 
 @functools.partial(jax.jit, static_argnames=("block",))
+def cho_factor(A: jnp.ndarray, block: int = 32):
+    """Jacobi-scaled Cholesky factorization of SPD (..., n, n).
+
+    Physics matrices mix ~1e-9 tarsus inertias with ~1e7 contact stiffness
+    terms; factorizing (and SOLVING) in the unit-diagonal scaled space
+    S A S keeps float32 stable. Returns (Ls, s) with A = S^-1 Ls Ls' S^-1,
+    S = diag(s); use ``cho_solve((Ls, s), b)``.
+    """
+    diag = jnp.diagonal(A, axis1=-2, axis2=-1)
+    s = jax.lax.rsqrt(jnp.maximum(diag, 1e-30))
+    As = A * s[..., :, None] * s[..., None, :]
+    return _cholesky_scaled(As, block=block), s
+
+
+@functools.partial(jax.jit, static_argnames=("block",))
 def cholesky(A: jnp.ndarray, block: int = 32) -> jnp.ndarray:
-    """Lower Cholesky factor of SPD (..., n, n), blocked right-looking."""
+    """Plain lower Cholesky factor (compat helper; prefer cho_factor)."""
+    Ls, s = cho_factor(A, block=block)
+    return Ls / s[..., :, None]
+
+
+def _cholesky_scaled(A: jnp.ndarray, block: int = 32) -> jnp.ndarray:
     n = A.shape[-1]
     if n <= block:
         return _unblocked_cholesky(A)
@@ -153,6 +185,16 @@ def _solve_tri_upper_small(U, B):
     return X
 
 
-def cho_solve(L: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
-    """Solve A x = b given lower Cholesky factor L of A."""
+def cho_solve(factor, b: jnp.ndarray) -> jnp.ndarray:
+    """Solve A x = b.
+
+    `factor` is either (Ls, s) from ``cho_factor`` (scaled-space solve,
+    float32-stable) or a plain lower factor L from ``cholesky``.
+    """
+    if isinstance(factor, tuple):
+        Ls, s = factor
+        sb = s * b if b.ndim == Ls.ndim - 1 else s[..., None] * b
+        x = solve_upper_t(Ls, solve_lower(Ls, sb))
+        return s * x if b.ndim == Ls.ndim - 1 else s[..., None] * x
+    L = factor
     return solve_upper_t(L, solve_lower(L, b))

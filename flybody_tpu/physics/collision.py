@@ -369,8 +369,6 @@ def collision(m: Model, d: Data) -> Data:
     dist = jnp.full((ncon,), 1e10, dtype=dtype)
     pos = jnp.zeros((ncon, 3), dtype=dtype)
     frame = jnp.zeros((ncon, 3, 3), dtype=dtype)
-    cg1 = np.full((ncon,), -1, dtype=np.int32)
-    cg2 = np.full((ncon,), -1, dtype=np.int32)
 
     for (t1, t2), pair_idx in groups.items():
         fn = _dispatch(m, t1, t2)
@@ -387,14 +385,6 @@ def collision(m: Model, d: Data) -> Data:
         dist = dist.at[slots].set(dd.reshape(-1))
         pos = pos.at[slots].set(pp.reshape(-1, 3))
         frame = frame.at[slots].set(ff.reshape(-1, 3, 3))
-        cg1[slots] = np.repeat(pg1, k)
-        cg2[slots] = np.repeat(pg2, k)
 
-    # combined contact params are static per slot: precomputed in put_model
-    return d.replace(contact=Contact(
-        dist=dist, pos=pos, frame=frame,
-        includemargin=jnp.asarray(m.con_includemargin, dtype=dtype),
-        friction=jnp.asarray(m.con_friction, dtype=dtype),
-        solref=jnp.asarray(m.con_solref, dtype=dtype),
-        solimp=jnp.asarray(m.con_solimp, dtype=dtype),
-        geom1=jnp.asarray(cg1), geom2=jnp.asarray(cg2)))
+    # combined contact params are slot-constant: they live in Model.con_*
+    return d.replace(contact=Contact(dist=dist, pos=pos, frame=frame))

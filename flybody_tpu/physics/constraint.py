@@ -181,7 +181,7 @@ def make_efc(m: Model, d: Data, meta: EfcMeta):
                                dtype=d.qpos.dtype)
         con = d.contact
         con_dim = np.asarray(m.con_dim)
-        eff_dist = con.dist - con.includemargin
+        eff_dist = con.dist - m.con_includemargin.astype(dtype)
         for cd, K in meta.groups:
             slots = np.nonzero(con_dim == cd)[0]
             sd = eff_dist[slots]
@@ -191,18 +191,17 @@ def make_efc(m: Model, d: Data, meta: EfcMeta):
                 top = jnp.arange(len(slots))
             sel = jnp.asarray(slots)[top]           # (K,) dynamic
             pos_c = eff_dist[sel]                   # (K,)
-            k_, b_, imp = _kbi(con.solref[sel], con.solimp[sel], pos_c)
+            k_, b_, imp = _kbi(m.con_solref[sel], m.con_solimp[sel], pos_c)
             # jacobians only for the selected island (K slots)
             m1 = dof_mask[jnp.asarray(slot_b1)[sel]]
             m2 = dof_mask[jnp.asarray(slot_b2)[sel]]
             jac = jac_for_contacts(m, d, con.pos[sel], con.frame[sel],
                                    m1, m2, dims=3)  # (K, 3, nv)
             vel = jnp.einsum("kdv,v->kd", jac, d.qvel)
-            g1 = con.geom1[sel]
-            g2 = con.geom2[sel]
-            gb = jnp.asarray(np.asarray(m.geom_bodyid))
+            b1_sel = jnp.asarray(slot_b1)[sel]
+            b2_sel = jnp.asarray(slot_b2)[sel]
             bw = m.body_invweight0[:, 0]
-            invw = bw[gb[jnp.maximum(g1, 0)]] + bw[gb[jnp.maximum(g2, 0)]]
+            invw = bw[b1_sel] + bw[b2_sel]
             R_n = jnp.maximum((1.0 - imp) / imp * invw, 1e-12)
             ndim = min(cd, 3)
             # normal row
@@ -213,7 +212,7 @@ def make_efc(m: Model, d: Data, meta: EfcMeta):
             rows_pos.append(pos_c)
             if ndim > 1:
                 # friction rows: aref = -b*vel (no position term)
-                fr = con.friction[sel]              # (K, 5)
+                fr = m.con_friction[sel]            # (K, 5)
                 R_f = R_n[:, None] / jnp.maximum(m.opt.impratio, 1e-12)
                 for t in range(1, ndim):
                     rows_J.append(jac[:, t, :])
@@ -267,6 +266,12 @@ def solve(m: Model, d: Data, iterations: int | None = None) -> Data:
     from flybody_tpu.physics.solver import solve_newton
     x, f = solve_newton(d.qM, d.qacc_smooth, efc, meta, iterations=niter,
                         ls_iterations=min(m.opt.ls_iterations, 6))
+    # float32 safety: if the solve degenerated, fall back to the smooth
+    # solution — the episode then blows up physically and is terminated by
+    # the task's |qacc| threshold (reference behavior, base.py:214-217)
+    ok = jnp.all(jnp.isfinite(x))
+    x = jnp.where(ok, x, d.qacc_smooth)
+    f = jnp.where(ok, f, 0.0)
     qfrc = efc["J"].T @ f
     # pad efc_force into the fixed-size slot (selected rows only)
     ef = jnp.zeros((m.nefc,), dtype=x.dtype)

@@ -131,7 +131,7 @@ def euler(m: Model, d: Data) -> Data:
     from flybody_tpu.ops import linalg as LA
     MhB = d.qM + h * jnp.diag(m.dof_damping)
     rhs = d.qfrc_smooth + d.qfrc_constraint
-    qacc = LA.cho_solve(LA.cholesky(MhB), rhs)
+    qacc = LA.cho_solve(LA.cho_factor(MhB), rhs)
     qvel = d.qvel + h * qacc
     act = _integrate_act(m, d, h)
     qpos = _integrate_qpos(m, d.qpos, qvel, h)

@@ -50,6 +50,13 @@ _PAIR_NCON = {
 # exact for spheres). Cylinder-vs-convex pairs are still dropped at model
 # build. TODO(round 2): exact smooth-convex narrowphase.
 
+# Ellipsoid-vs-convex SELF-collision pairs are disabled by default (0.0):
+# the approximate narrowphase reports spurious deep penetrations where
+# limbs root near the thorax/head ellipsoids, destabilizing float32
+# stepping. Plane-ellipsoid (exact) is always on. Set to a finite
+# aspect-ratio bound (e.g. 4.0) to enable for near-spherical shapes.
+ELLIPSOID_ASPECT_LIMIT = 0.0
+
 
 def _names(m) -> dict:
     """Extract name -> id tables from mjModel."""
@@ -119,6 +126,14 @@ def _collision_pairs(m) -> tuple[np.ndarray, np.ndarray, list]:
     for e in range(m.nexclude):
         sig = m.exclude_signature[e]
         excluded.add((sig >> 16, sig & 0xFFFF))
+    def _ellipsoid_ok(g):
+        if int(m.geom_type[g]) != T.GEOM_ELLIPSOID:
+            return True
+        if ELLIPSOID_ASPECT_LIMIT <= 0:
+            return False
+        s = np.asarray(m.geom_size[g])
+        return float(s.max() / max(s.min(), 1e-12)) <= ELLIPSOID_ASPECT_LIMIT
+
     for i in range(m.ngeom):
         for j in range(i + 1, m.ngeom):
             t1, t2 = int(m.geom_type[i]), int(m.geom_type[j])
@@ -126,6 +141,11 @@ def _collision_pairs(m) -> tuple[np.ndarray, np.ndarray, list]:
             if t1 > t2:
                 g1, g2, t1, t2 = j, i, t2, t1
             if (t1, t2) not in _PAIR_NCON:
+                continue
+            # plane-ellipsoid narrowphase is exact; self-collision
+            # ellipsoid pairs require mild aspect ratios
+            if t1 != T.GEOM_PLANE and not (
+                    _ellipsoid_ok(g1) and _ellipsoid_ok(g2)):
                 continue
             b1, b2 = int(m.geom_bodyid[g1]), int(m.geom_bodyid[g2])
             con1, aff1 = int(m.geom_contype[g1]), int(m.geom_conaffinity[g1])
@@ -366,10 +386,7 @@ def make_data(model: Model, dtype=None) -> Data:
     eye3 = jnp.broadcast_to(jnp.eye(3, dtype=dtype), (nbody, 3, 3))
     contact = Contact(
         dist=jnp.full((ncon,), 1e10, dtype=dtype),
-        pos=z(ncon, 3), frame=z(ncon, 3, 3), includemargin=z(ncon),
-        friction=z(ncon, 5), solref=z(ncon, 2), solimp=z(ncon, 5),
-        geom1=jnp.full((ncon,), -1, dtype=jnp.int32),
-        geom2=jnp.full((ncon,), -1, dtype=jnp.int32),
+        pos=z(ncon, 3), frame=z(ncon, 3, 3),
     )
     return Data(
         qpos=jnp.asarray(model.qpos0, dtype=dtype), qvel=z(nv),
@@ -387,7 +404,7 @@ def make_data(model: Model, dtype=None) -> Data:
                                    (model.nsite, 3, 3)),
         subtree_com=z(nbody, 3), cinert=z(nbody, 6, 6), cdof=z(nv, 6),
         ten_length=z(model.ntendon), ten_moment=z(model.ntendon, nv),
-        qM=z(nv, nv), qLD=z(nv, nv), contact=contact,
+        qM=z(nv, nv), qLD=z(nv, nv), qLD_scale=z(nv), contact=contact,
         cvel=z(nbody, 6), cdof_dot=z(nv, 6),
         ten_velocity=z(model.ntendon),
         qfrc_bias=z(nv), qfrc_passive=z(nv), qfrc_fluid=z(nv),

@@ -133,7 +133,8 @@ def sensor(m: Model, d: Data) -> Data:
                 b1s, b2s = _slot_bodies(m)
                 on = jnp.asarray(((b1s == b) | (b2s == b)).astype(np.float32),
                                  dtype=dtype)
-                active = (d.contact.dist < d.contact.includemargin)
+                active = (d.contact.dist
+                          < m.con_includemargin.astype(dtype))
                 val = jnp.sum(jnp.where(active, d.contact_force[:, 0], 0.0)
                               * on)
             out = out.at[a].set(jnp.maximum(val, 0.0))

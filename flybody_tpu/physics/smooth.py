@@ -110,14 +110,14 @@ def crb(m: Model, d: Data) -> Data:
     qM = lower + lower.T - jnp.diag(jnp.diag(lower))
     qM = qM + jnp.diag(m.dof_armature)
     from flybody_tpu.ops import linalg as LA
-    qLD = LA.cholesky(qM)
-    return d.replace(qM=qM, qLD=qLD)
+    qLD, qLD_scale = LA.cho_factor(qM)
+    return d.replace(qM=qM, qLD=qLD, qLD_scale=qLD_scale)
 
 
 def solve_m(d: Data, rhs: jnp.ndarray) -> jnp.ndarray:
-    """Solve qM x = rhs using the cached Cholesky factor."""
+    """Solve qM x = rhs using the cached (scaled) Cholesky factor."""
     from flybody_tpu.ops import linalg as LA
-    return LA.cho_solve(d.qLD, rhs)
+    return LA.cho_solve((d.qLD, d.qLD_scale), rhs)
 
 
 def rne(m: Model, d: Data) -> Data:

@@ -141,10 +141,22 @@ def solve_newton(M, a_smooth, efc, meta, iterations: int = 8,
         jar = J @ x - aref
         f, w, blocks = force(jar)
         grad = M @ (x - a_smooth) - J.T @ f
-        H = M + (J.T * w) @ J + cone_JBJ(blocks, J) + 1e-9 * eye
+        H = M + (J.T * w) @ J + cone_JBJ(blocks, J)
+        # relative diagonal regularization: duplicate contact rows make H
+        # rank-deficient; a 1e-5 (f32) relative bump keeps the Jacobi-scaled
+        # factorization strictly PD with negligible force error
+        rel = 1e-5 if H.dtype == jnp.float32 else 1e-12
+        H = H + jnp.diag(rel * jnp.diag(H) + 1e-12)
         from flybody_tpu.ops import linalg as LA
-        L = LA.cholesky(H)
-        p = -LA.cho_solve(L, grad)
+        p = -LA.cho_solve(LA.cho_factor(H), grad)
+        # trust region: near-deficient Hessian directions (duplicate
+        # contact rows, float32) can yield astronomically long steps; cap
+        # the step so the linesearch explores a sane interval. The cap is
+        # far above physical accelerations (CGS qacc ~ 1e6) but far below
+        # float32 overflow when squared.
+        pmax = jnp.max(jnp.abs(p))
+        cap = jnp.asarray(1e8, dtype)
+        p = p * jnp.minimum(1.0, cap / jnp.maximum(pmax, 1e-12))
         Jp = J @ p
         pMp = p @ (M @ p)
         pM_xa = p @ (M @ (x - a_smooth))

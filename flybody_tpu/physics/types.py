@@ -258,17 +258,16 @@ class Model:
 
 @pytree(meta=())
 class Contact:
-    """Batch of contact slots (fixed size ncon_max; inactive => dist=1e10)."""
+    """Per-env dynamic contact state (fixed ncon_max slots).
+
+    Slot-constant data (combined solref/solimp/friction/includemargin and
+    the geom pair per slot) lives in Model (con_* fields / pair tables) —
+    keeping it out of Data halves contact memory under vmap.
+    """
 
     dist: jax.Array       # (ncon,)
     pos: jax.Array        # (ncon, 3)
     frame: jax.Array      # (ncon, 3, 3): rows = normal, tangent1, tangent2
-    includemargin: jax.Array  # (ncon,)
-    friction: jax.Array   # (ncon, 5)
-    solref: jax.Array     # (ncon, 2)
-    solimp: jax.Array     # (ncon, 5)
-    geom1: jax.Array      # (ncon,) int32
-    geom2: jax.Array      # (ncon,) int32
 
 
 @pytree(meta=())
@@ -296,7 +295,8 @@ class Data:
     ten_length: jax.Array   # (ntendon,)
     ten_moment: jax.Array   # (ntendon, nv)
     qM: jax.Array           # (nv, nv) dense
-    qLD: jax.Array          # (nv, nv) cholesky factor of qM
+    qLD: jax.Array          # (nv, nv) scaled cholesky factor of qM
+    qLD_scale: jax.Array    # (nv,) Jacobi scale of the factorization
     contact: Contact
 
     # fwd_velocity products

@@ -205,7 +205,8 @@ class VisionFlightWBPG(Task):
             from flybody_tpu.physics.actuation import _slot_bodies
             b1, b2 = _slot_bodies(model)
             world_slot = jnp.asarray((b1 == 0) | (b2 == 0))
-            active = data.contact.dist < data.contact.includemargin
+            active = data.contact.dist < model.con_includemargin.astype(
+                data.contact.dist.dtype)
             floor_hit = jnp.any(active & world_slot)
         qacc = jnp.linalg.norm(data.qacc)
         terminated = (floor_hit

@@ -34,7 +34,13 @@ _XML = """
 @pytest.fixture(scope="module")
 def setup():
     mj_model = mujoco.MjModel.from_xml_string(_XML)
-    return mj_model, io_mj.put_model(mj_model, dtype=jnp.float64)
+    old = io_mj.ELLIPSOID_ASPECT_LIMIT
+    io_mj.ELLIPSOID_ASPECT_LIMIT = 4.0  # enable ellipsoid self pairs
+    try:
+        model = io_mj.put_model(mj_model, dtype=jnp.float64)
+    finally:
+        io_mj.ELLIPSOID_ASPECT_LIMIT = old
+    return mj_model, model
 
 
 def _dist_for(model, d, g1, g2):
