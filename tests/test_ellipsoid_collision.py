@@ -43,9 +43,22 @@ def setup():
     return mj_model, model
 
 
+def _slot_geoms(model):
+    """Static per-slot geom ids from the model pair tables."""
+    from flybody_tpu.physics.io_mj import _PAIR_NCON
+    pg1 = np.asarray(model.pair_geom1)
+    pg2 = np.asarray(model.pair_geom2)
+    pt = np.asarray(model.pair_type)
+    g1s, g2s = [], []
+    for k in range(len(pg1)):
+        n = _PAIR_NCON[(int(pt[k, 0]), int(pt[k, 1]))]
+        g1s += [int(pg1[k])] * n
+        g2s += [int(pg2[k])] * n
+    return np.array(g1s), np.array(g2s)
+
+
 def _dist_for(model, d, g1, g2):
-    cg1 = np.asarray(d.contact.geom1)
-    cg2 = np.asarray(d.contact.geom2)
+    cg1, cg2 = _slot_geoms(model)
     for k in range(model.ncon_max):
         if {int(cg1[k]), int(cg2[k])} == {g1, g2}:
             return float(d.contact.dist[k])
