@@ -17,6 +17,12 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax
 
+# The axon sitecustomize force-sets jax_platforms="axon,cpu" at interpreter
+# start, overriding the JAX_PLATFORMS env var — without this explicit config
+# update every eager test op becomes a ~100 ms round trip through the TPU
+# tunnel (the round-1 "unrunnable test suite").
+jax.config.update("jax_platforms", "cpu")
+
 jax.config.update("jax_enable_x64", True)
 
 # Persistent compilation cache: oracle tests jit sizable programs; caching
