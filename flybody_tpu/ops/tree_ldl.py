@@ -29,8 +29,10 @@ import numpy as np
 import jax.numpy as jnp
 
 
-@dataclasses.dataclass(frozen=True)
+@dataclasses.dataclass(frozen=True, eq=False)
 class TreeMeta:
+    # eq=False: identity hash/eq so TreeMeta can ride in Model's static
+    # pytree aux data (models are built once per process).
     """Static sparse layout + elimination schedule for one tree."""
 
     nv: int

@@ -1,4 +1,4 @@
-"""Actuation: activation dynamics, gain/bias force model, adhesion.
+"""Actuation: activation dynamics, gain/bias force model, adhesion (batched).
 
 Covers the actuator feature set of the fly model (reference fruitfly MJCF
 actuator block + walker surgery that converts actuators to dyntype=filter,
@@ -9,6 +9,10 @@ reference vnl_ray/fruitfly/fruitfly.py:271-281):
 * ``adhesion`` actuators (trntype body): the moment is the mean of the
   contact-normal Jacobian rows over active contacts of the target body,
   with sign such that positive ctrl pulls the contact pair together.
+
+The dense (nu, nv) moment matrix of the round-1 engine is replaced by
+static scatter maps (joints/tendons) and a static-support sparse normal-
+jacobian accumulation (adhesion) — nothing O(nu*nv) is materialized.
 """
 
 from __future__ import annotations
@@ -17,8 +21,16 @@ import numpy as np
 
 import jax.numpy as jnp
 
+from flybody_tpu.math import bquat as bq
 from flybody_tpu.physics import types as T
 from flybody_tpu.physics.types import Data, Model
+
+
+def clamp_ctrl(m: Model, ctrl: jnp.ndarray) -> jnp.ndarray:
+    limited = jnp.asarray(np.asarray(m.actuator_ctrllimited, dtype=bool))
+    lo = m.actuator_ctrlrange[:, 0:1]
+    hi = m.actuator_ctrlrange[:, 1:2]
+    return jnp.where(limited[:, None], jnp.clip(ctrl, lo, hi), ctrl)
 
 
 def act_dynamics(m: Model, d: Data) -> Data:
@@ -26,64 +38,19 @@ def act_dynamics(m: Model, d: Data) -> Data:
     if m.na == 0:
         return d
     ctrl = clamp_ctrl(m, d.ctrl)
-    act_dot = jnp.zeros_like(d.act)
     dyn = np.asarray(m.actuator_dyntype)
     actadr = np.asarray(m.actuator_actadr)
-    for u in range(m.nu):
-        if dyn[u] == T.DYN_NONE:
-            continue
-        a = actadr[u]
-        if dyn[u] == T.DYN_INTEGRATOR:
-            act_dot = act_dot.at[a].set(ctrl[u])
-        elif dyn[u] in (T.DYN_FILTER, T.DYN_FILTEREXACT):
-            tau = jnp.maximum(m.actuator_dynprm[u, 0], 1e-12)
-            act_dot = act_dot.at[a].set((ctrl[u] - d.act[a]) / tau)
+    act_dot = jnp.zeros_like(d.act)
+
+    integ = np.nonzero(dyn == T.DYN_INTEGRATOR)[0]
+    if len(integ):
+        act_dot = act_dot.at[actadr[integ]].set(ctrl[integ])
+    filt = np.nonzero((dyn == T.DYN_FILTER) | (dyn == T.DYN_FILTEREXACT))[0]
+    if len(filt):
+        tau = jnp.maximum(m.actuator_dynprm[filt, 0], 1e-12)[:, None]
+        a = actadr[filt]
+        act_dot = act_dot.at[a].set((ctrl[filt] - d.act[a]) / tau)
     return d.replace(act_dot=act_dot)
-
-
-def clamp_ctrl(m: Model, ctrl: jnp.ndarray) -> jnp.ndarray:
-    limited = jnp.asarray(np.asarray(m.actuator_ctrllimited, dtype=bool))
-    lo, hi = m.actuator_ctrlrange[:, 0], m.actuator_ctrlrange[:, 1]
-    return jnp.where(limited, jnp.clip(ctrl, lo, hi), ctrl)
-
-
-def adhesion_moment(m: Model, d: Data) -> Data:
-    """Fill actuator_moment rows for body-transmission (adhesion) actuators.
-
-    For each active contact (dist < includemargin) with exactly one geom on
-    the target body's subtree-weld, accumulate the normal-direction contact
-    Jacobian; the moment is the average over active contacts, signed so that
-    positive force attracts. Matches mj_transmission mjTRN_BODY semantics.
-    """
-    trntype = np.asarray(m.actuator_trntype)
-    body_acts = np.nonzero(trntype == T.TRN_BODY)[0]
-    if len(body_acts) == 0 or m.ncon_max == 0:
-        return d
-    dtype = d.qpos.dtype
-    con = d.contact
-    slot_b1, slot_b2 = _slot_bodies(m)
-
-    moment = d.actuator_moment
-    for u in body_acts:
-        b = int(np.asarray(m.actuator_trnid)[u, 0])
-        # STATIC subset of contact slots that involve body b (few per claw)
-        slots = np.nonzero((slot_b1 == b) | (slot_b2 == b))[0]
-        if len(slots) == 0:
-            continue
-        from flybody_tpu.physics import constraint as C
-        jn, _ = C.contact_jacobians(m, d, slots=slots, dims=1)
-        jn = jn[:, 0, :]                             # (S, nv)
-        # adhesion acts across the full margin (incl. the gap zone — that is
-        # what geom gap exists for; reference adhesion-collision class sets
-        # margin=gap=0.0005)
-        active = (con.dist[slots] < m.con_margin[slots]).astype(dtype)
-        count = jnp.sum(active)
-        # normal jac is positive along the separating direction; adhesion
-        # must oppose separation => moment = -mean(J_normal) * gear.
-        row = -(active[:, None] * jn).sum(0) / jnp.maximum(count, 1.0)
-        gain = m.actuator_gear[u, 0]
-        moment = moment.at[u].set(row * jnp.where(count > 0, gain, 0.0))
-    return d.replace(actuator_moment=moment)
 
 
 def _slot_bodies(m: Model):
@@ -99,6 +66,79 @@ def _slot_bodies(m: Model):
     return np.array(b1), np.array(b2)
 
 
+_ADH_CACHE: dict = {}
+
+
+def _adhesion_plan(m: Model):
+    """Static plan: per adhesion actuator, its contact slots and the sparse
+    (slot, dof, sign) support triplets of the normal-direction jacobian."""
+    key = id(m.actuator_trnid)
+    if key in _ADH_CACHE:
+        return _ADH_CACHE[key]
+    trntype = np.asarray(m.actuator_trntype)
+    body_acts = np.nonzero(trntype == T.TRN_BODY)[0]
+    slot_b1, slot_b2 = _slot_bodies(m)
+    bdm = np.asarray(m.body_dof_mask)
+    plans = []
+    for u in body_acts:
+        b = int(np.asarray(m.actuator_trnid)[u, 0])
+        slots = np.nonzero((slot_b1 == b) | (slot_b2 == b))[0]
+        if len(slots) == 0:
+            continue
+        tri_s, tri_v, tri_sign = [], [], []
+        for s in slots:
+            m1 = bdm[slot_b1[s]]
+            m2 = bdm[slot_b2[s]]
+            for v in np.nonzero(m1 | m2)[0]:
+                sign = float(m2[v]) - float(m1[v])
+                if sign != 0.0:
+                    tri_s.append(s); tri_v.append(v); tri_sign.append(sign)
+        plans.append(dict(
+            u=int(u), slots=np.asarray(slots, np.int32),
+            tri_s=np.asarray(tri_s, np.int32),
+            tri_v=np.asarray(tri_v, np.int32),
+            tri_sign=np.asarray(tri_sign, np.float64),
+        ))
+    _ADH_CACHE[key] = plans
+    return plans
+
+
+def adhesion_qfrc(m: Model, d: Data, force: jnp.ndarray) -> jnp.ndarray:
+    """qfrc (nv, B) contribution of adhesion actuators given their scalar
+    forces (nu, B). Matches mj_transmission mjTRN_BODY semantics: moment =
+    -(mean over active contacts of the normal jacobian row) * gear."""
+    qfrc = jnp.zeros_like(d.qvel)
+    plans = _adhesion_plan(m)
+    if not plans or m.ncon_max == 0:
+        return qfrc
+    dtype = d.qpos.dtype
+    root_of_dof = np.asarray(m.body_rootid)[np.asarray(m.dof_bodyid)]
+    con = d.contact
+    for p in plans:
+        u = p["u"]
+        slots, tri_s, tri_v = p["slots"], p["tri_s"], p["tri_v"]
+        sign = jnp.asarray(p["tri_sign"], dtype)[:, None]
+        # active = within the full margin zone (adhesion acts across gap)
+        active = (con.dist[slots] < m.con_margin[slots, None]).astype(dtype)
+        count = jnp.sum(active, axis=0)                       # (B,)
+        n = con.frame[slots][:, 0]                            # (S, 3, B)
+        # per-triplet normal jacobian entry: n_s . jacp(v)
+        pos_s = con.pos[tri_s]                                # (Ptri, 3, B)
+        cd = d.cdof[tri_v]                                    # (Ptri, 6, B)
+        comroot = d.subtree_com[root_of_dof[tri_v]]           # (Ptri, 3, B)
+        jacp = cd[:, 3:] + bq.cross(cd[:, :3], pos_s - comroot)
+        slot_pos = {int(s): k for k, s in enumerate(slots)}
+        n_tri = n[np.asarray([slot_pos[int(s)] for s in tri_s])]
+        jn = jnp.sum(n_tri * jacp, axis=-2) * sign            # (Ptri, B)
+        act_tri = active[np.asarray([slot_pos[int(s)] for s in tri_s])]
+        gain = m.actuator_gear[u, 0]
+        scale = jnp.where(count > 0,
+                          -gain / jnp.maximum(count, 1.0), 0.0)  # (B,)
+        row_scaled = jn * act_tri * (scale * force[u])[None, :]
+        qfrc = qfrc.at[tri_v].add(row_scaled)
+    return qfrc
+
+
 def actuation(m: Model, d: Data) -> Data:
     """mj_fwdActuation: actuator forces -> qfrc_actuator."""
     if m.nu == 0:
@@ -107,33 +147,52 @@ def actuation(m: Model, d: Data) -> Data:
 
     dyn = np.asarray(m.actuator_dyntype)
     actadr = np.asarray(m.actuator_actadr)
-    # input = act for stateful actuators, ctrl otherwise
     has_act = dyn != T.DYN_NONE
     act_idx = np.where(has_act, np.maximum(actadr, 0), 0)
-    inp = jnp.where(jnp.asarray(has_act),
+    inp = jnp.where(jnp.asarray(has_act)[:, None],
                     d.act[act_idx] if m.na else ctrl, ctrl)
 
     gaintype = np.asarray(m.actuator_gaintype)
     gp = m.actuator_gainprm
-    gain = jnp.where(jnp.asarray(gaintype == T.GAIN_AFFINE),
-                     gp[:, 0] + gp[:, 1] * d.actuator_length
-                     + gp[:, 2] * d.actuator_velocity,
-                     gp[:, 0])
+    gain = jnp.where(jnp.asarray(gaintype == T.GAIN_AFFINE)[:, None],
+                     gp[:, 0:1] + gp[:, 1:2] * d.actuator_length
+                     + gp[:, 2:3] * d.actuator_velocity,
+                     gp[:, 0:1])
 
     biastype = np.asarray(m.actuator_biastype)
     bp = m.actuator_biasprm
-    bias = jnp.where(jnp.asarray(biastype == T.BIAS_AFFINE),
-                     bp[:, 0] + bp[:, 1] * d.actuator_length
-                     + bp[:, 2] * d.actuator_velocity,
+    bias = jnp.where(jnp.asarray(biastype == T.BIAS_AFFINE)[:, None],
+                     bp[:, 0:1] + bp[:, 1:2] * d.actuator_length
+                     + bp[:, 2:3] * d.actuator_velocity,
                      0.0)
 
     force = gain * inp + bias
     flimited = jnp.asarray(np.asarray(m.actuator_forcelimited, dtype=bool))
     force = jnp.where(
-        flimited,
-        jnp.clip(force, m.actuator_forcerange[:, 0],
-                 m.actuator_forcerange[:, 1]),
+        flimited[:, None],
+        jnp.clip(force, m.actuator_forcerange[:, 0:1],
+                 m.actuator_forcerange[:, 1:2]),
         force)
 
-    qfrc = d.actuator_moment.T @ force
-    return d.replace(actuator_force=force, qfrc_actuator=qfrc, ctrl=d.ctrl)
+    # qfrc via static transmission maps
+    qfrc = jnp.zeros_like(d.qvel)
+    trntype = np.asarray(m.actuator_trntype)
+    trnid = np.asarray(m.actuator_trnid)[:, 0]
+    gear0 = m.actuator_gear[:, 0]
+    jnt_dofadr = np.asarray(m.jnt_dofadr)
+
+    jids = np.nonzero(trntype == T.TRN_JOINT)[0]
+    if len(jids):
+        qfrc = qfrc.at[jnt_dofadr[trnid[jids]]].add(
+            gear0[jids][:, None] * force[jids])
+
+    tids = np.nonzero(trntype == T.TRN_TENDON)[0]
+    if len(tids):
+        from flybody_tpu.physics import kinematics as K
+        ten_frc = jnp.zeros((m.ntendon, d.qpos.shape[-1]), d.qpos.dtype)
+        ten_frc = ten_frc.at[trnid[tids]].add(gear0[tids][:, None]
+                                              * force[tids])
+        qfrc = qfrc + K.ten_moment_apply(m, d, ten_frc)
+
+    qfrc = qfrc + adhesion_qfrc(m, d, force)
+    return d.replace(actuator_force=force, qfrc_actuator=qfrc)

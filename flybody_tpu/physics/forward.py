@@ -1,9 +1,10 @@
-"""Forward dynamics pipeline and integrators.
+"""Forward dynamics pipeline and integrators (batch-native).
 
-``step(model, data) -> data`` is a pure function: jit it, vmap it over
-thousands of envs, scan it over substeps. The pipeline order and semantics
-mirror MuJoCo's mj_forward/mj_Euler (the reference's physics hot loop,
-SURVEY.md §3.2) re-expressed as batched functional stages.
+``step(model, data) -> data`` is a pure function over a whole batch of
+envs (trailing batch axis): jit it, shard it over a mesh, scan it over
+substeps. The pipeline order and semantics mirror MuJoCo's
+mj_forward/mj_Euler (the reference's physics hot loop, SURVEY.md §3.2)
+re-expressed as batched functional stages.
 """
 
 from __future__ import annotations
@@ -13,7 +14,8 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from flybody_tpu.math import quaternions as mq
+from flybody_tpu.math import bquat as bq
+from flybody_tpu.ops import tree_ldl as TL
 from flybody_tpu.physics import actuation as A
 from flybody_tpu.physics import collision as col
 from flybody_tpu.physics import constraint as C
@@ -43,27 +45,26 @@ def fwd_velocity(m: Model, d: Data) -> Data:
 
 def fwd_actuation(m: Model, d: Data) -> Data:
     d = A.act_dynamics(m, d)
-    d = A.adhesion_moment(m, d)
     d = A.actuation(m, d)
     return d
 
 
 def _xfrc_to_qfrc(m: Model, d: Data) -> jnp.ndarray:
-    """Project xfrc_applied ((nbody,6): force, torque at body com, world
-    frame) into joint space."""
+    """Project xfrc_applied ((nbody, 6, B): force, torque at body com,
+    world frame) into joint space."""
     root = np.asarray(m.body_rootid)
     offset = d.xipos - d.subtree_com[root]
     force = d.xfrc_applied[:, :3]
     torque = d.xfrc_applied[:, 3:]
-    trq_o = torque + jnp.cross(offset, force)
-    cfrc = jnp.concatenate([trq_o, force], axis=-1)
+    trq_o = torque + bq.cross(offset, force)
+    cfrc = jnp.concatenate([trq_o, force], axis=-2)
     return P.project_body_forces(m, d, cfrc)
 
 
 def fwd_acceleration(m: Model, d: Data) -> Data:
     qfrc_smooth = (d.qfrc_passive - d.qfrc_bias + d.qfrc_actuator
                    + d.qfrc_applied + _xfrc_to_qfrc(m, d))
-    qacc_smooth = S.solve_m(d, qfrc_smooth)
+    qacc_smooth = S.solve_m(m, d, qfrc_smooth)
     return d.replace(qfrc_smooth=qfrc_smooth, qacc_smooth=qacc_smooth)
 
 
@@ -78,30 +79,34 @@ def forward(m: Model, d: Data) -> Data:
 
 
 def _integrate_qpos(m: Model, qpos, qvel, h):
-    """Position integration respecting quaternion manifolds."""
+    """Position integration respecting quaternion manifolds (batched)."""
     out = qpos
     jt = np.asarray(m.jnt_type)
     qadr = np.asarray(m.jnt_qposadr)
     dadr = np.asarray(m.jnt_dofadr)
 
-    # scalar joints (hinge/slide): simple addition, batched via index lists
     sj = np.nonzero((jt == T.HINGE) | (jt == T.SLIDE))[0]
     if len(sj):
         out = out.at[qadr[sj]].add(h * qvel[dadr[sj]])
 
-    for j in np.nonzero(jt == T.BALL)[0]:
-        q = qpos[qadr[j]:qadr[j] + 4]
-        w = qvel[dadr[j]:dadr[j] + 3]
-        out = jax.lax.dynamic_update_slice(
-            out, mq.quat_integrate(q, w, h), (qadr[j],))
-    for j in np.nonzero(jt == T.FREE)[0]:
-        a, v = qadr[j], dadr[j]
-        out = jax.lax.dynamic_update_slice(
-            out, qpos[a:a + 3] + h * qvel[v:v + 3], (a,))
-        q = qpos[a + 3:a + 7]
-        w = qvel[v + 3:v + 6]
-        out = jax.lax.dynamic_update_slice(
-            out, mq.quat_integrate(q, w, h), (a + 3,))
+    ball = np.nonzero(jt == T.BALL)[0]
+    if len(ball):
+        qidx = qadr[ball][:, None] + np.arange(4)      # (nb, 4)
+        widx = dadr[ball][:, None] + np.arange(3)
+        q = qpos[qidx]                                  # (nb, 4, B)
+        w = qvel[widx]
+        out = out.at[qidx].set(bq.integrate(q, w, h))
+
+    free = np.nonzero(jt == T.FREE)[0]
+    if len(free):
+        pidx = qadr[free][:, None] + np.arange(3)
+        vidx = dadr[free][:, None] + np.arange(3)
+        out = out.at[pidx].add(h * qvel[vidx])
+        qidx = qadr[free][:, None] + np.arange(3, 7)
+        widx = dadr[free][:, None] + np.arange(3, 6)
+        q = qpos[qidx]
+        w = qvel[widx]
+        out = out.at[qidx].set(bq.integrate(q, w, h))
     return out
 
 
@@ -109,13 +114,13 @@ def _integrate_act(m: Model, d: Data, h):
     if m.na == 0:
         return d.act
     act = d.act + h * d.act_dot
-    # filterexact: exact exponential update
     dyn = np.asarray(m.actuator_dyntype)
     actadr = np.asarray(m.actuator_actadr)
-    for u in np.nonzero(dyn == T.DYN_FILTEREXACT)[0]:
-        a = actadr[u]
-        tau = jnp.maximum(m.actuator_dynprm[u, 0], 1e-12)
-        ctrl = A.clamp_ctrl(m, d.ctrl)[u]
+    fe = np.nonzero(dyn == T.DYN_FILTEREXACT)[0]
+    if len(fe):
+        a = actadr[fe]
+        tau = jnp.maximum(m.actuator_dynprm[fe, 0], 1e-12)[:, None]
+        ctrl = A.clamp_ctrl(m, d.ctrl)[fe]
         act = act.at[a].set(d.act[a] + (ctrl - d.act[a])
                             * (1.0 - jnp.exp(-h / tau)))
     return act
@@ -123,15 +128,17 @@ def _integrate_act(m: Model, d: Data, h):
 
 def euler(m: Model, d: Data) -> Data:
     """Semi-implicit Euler with implicit-in-velocity joint damping,
-    matching MuJoCo's default integrator."""
+    matching MuJoCo's default integrator.
+
+    (M + h diag(damping)) qacc' = qfrc_smooth + qfrc_constraint, solved
+    with a second sparse tree factorization (same pattern as qM)."""
     h = m.opt.timestep.astype(d.qpos.dtype)
-    # Implicit-in-velocity joint damping (MuJoCo Euler):
-    # (M + h*diag(damping)) qacc' = qfrc_smooth + qfrc_constraint.
-    # Always applied; exact no-op when damping == 0.
-    from flybody_tpu.ops import linalg as LA
-    MhB = d.qM + h * jnp.diag(m.dof_damping)
+    tree = m.tree
+    MhB = d.qM.at[np.asarray(tree.diag_entry)].add(
+        h * m.dof_damping[:, None])
+    LD, Dinv = TL.factor(tree, MhB)
     rhs = d.qfrc_smooth + d.qfrc_constraint
-    qacc = LA.cho_solve(LA.cho_factor(MhB), rhs)
+    qacc = TL.solve(tree, LD, Dinv, rhs)
     qvel = d.qvel + h * qacc
     act = _integrate_act(m, d, h)
     qpos = _integrate_qpos(m, d.qpos, qvel, h)

@@ -78,6 +78,11 @@ def _names(m) -> dict:
     return out
 
 
+def _tree_meta(dof_parentid):
+    from flybody_tpu.ops import tree_ldl as TL
+    return TL.build_tree_meta(np.asarray(dof_parentid))
+
+
 def _tree_levels(parentid: np.ndarray) -> tuple:
     """Group body ids (excluding world=0) by depth for level-parallel FK."""
     nbody = len(parentid)
@@ -200,8 +205,13 @@ def _sensor_code(mj_type: int) -> int:
     return code
 
 
-def put_model(m, dtype=jnp.float32) -> Model:
-    """Convert a compiled mjModel into the engine's Model pytree."""
+def put_model(m, dtype=jnp.float32, con_sel: dict | None = None) -> Model:
+    """Convert a compiled mjModel into the engine's Model pytree.
+
+    con_sel: optional {condim: K} overrides for the per-condim active
+    contact island sizes (smaller K = faster constraint solve; default
+    constraint.MAX_ACTIVE).
+    """
     import mujoco
 
     for g in range(m.ngeom):
@@ -301,6 +311,7 @@ def put_model(m, dtype=jnp.float32) -> Model:
         dof_parentid=s(m.dof_parentid),
         ancestor_mask=s(_ancestor_mask(m.dof_parentid, m.nv)),
         body_dof_mask=s(_body_dof_mask(m)),
+        tree=_tree_meta(m.dof_parentid),
         geom_type=s(m.geom_type), geom_bodyid=s(m.geom_bodyid),
         geom_condim=s(m.geom_condim), geom_priority=s(m.geom_priority),
         geom_fluid_active=s(np.asarray(m.geom_fluid)[:, 0] != 0),
@@ -321,6 +332,7 @@ def put_model(m, dtype=jnp.float32) -> Model:
         pair_geom1=s(pair_g1), pair_geom2=s(pair_g2),
         pair_type=Static(np.array(pair_types, dtype=np.int32).reshape(-1, 2)),
         con_dim=s(np.array(con_dim, dtype=np.int32)),
+        con_sel=tuple(sorted((con_sel or {}).items())),
         names=_names(m),
         opt=opt,
         qpos0=a(m.qpos0), qpos_spring=a(m.qpos_spring),
@@ -376,40 +388,44 @@ def put_model(m, dtype=jnp.float32) -> Model:
     )
 
 
-def make_data(model: Model, dtype=None) -> Data:
-    """Fresh Data at qpos0, zero velocity."""
+def make_data(model: Model, B: int = 1, dtype=None) -> Data:
+    """Fresh batched Data (trailing batch axis B) at qpos0, zero velocity."""
     dtype = dtype or model.qpos0.dtype
-    z = lambda *shape: jnp.zeros(shape, dtype=dtype)
+    z = lambda *shape: jnp.zeros(shape + (B,), dtype=dtype)
     nv, nbody, nq = model.nv, model.nbody, model.nq
     ncon = model.ncon_max
-    ident = jnp.zeros((nbody, 4), dtype=dtype).at[:, 0].set(1.0)
-    eye3 = jnp.broadcast_to(jnp.eye(3, dtype=dtype), (nbody, 3, 3))
+    nM = model.tree.nM
+    ident = jnp.zeros((nbody, 4, B), dtype=dtype).at[:, 0].set(1.0)
+    eye3 = jnp.broadcast_to(jnp.eye(3, dtype=dtype)[None, :, :, None],
+                            (nbody, 3, 3, B))
     contact = Contact(
-        dist=jnp.full((ncon,), 1e10, dtype=dtype),
+        dist=jnp.full((ncon, B), 1e10, dtype=dtype),
         pos=z(ncon, 3), frame=z(ncon, 3, 3),
     )
     return Data(
-        qpos=jnp.asarray(model.qpos0, dtype=dtype), qvel=z(nv),
+        qpos=jnp.broadcast_to(
+            jnp.asarray(model.qpos0, dtype=dtype)[:, None], (nq, B)),
+        qvel=z(nv),
         act=z(model.na), ctrl=z(model.nu),
         qfrc_applied=z(nv), xfrc_applied=z(nbody, 6),
-        time=jnp.asarray(0.0, dtype=dtype),
+        time=jnp.zeros((B,), dtype=dtype),
         xpos=z(nbody, 3), xquat=ident,
         xmat=eye3, xipos=z(nbody, 3), ximat=eye3,
         xanchor=z(model.njnt, 3), xaxis=z(model.njnt, 3),
         geom_xpos=z(model.ngeom, 3),
-        geom_xmat=jnp.broadcast_to(jnp.eye(3, dtype=dtype),
-                                   (model.ngeom, 3, 3)),
+        geom_xmat=jnp.broadcast_to(jnp.eye(3, dtype=dtype)[None, :, :, None],
+                                   (model.ngeom, 3, 3, B)),
         site_xpos=z(model.nsite, 3),
-        site_xmat=jnp.broadcast_to(jnp.eye(3, dtype=dtype),
-                                   (model.nsite, 3, 3)),
+        site_xmat=jnp.broadcast_to(jnp.eye(3, dtype=dtype)[None, :, :, None],
+                                   (model.nsite, 3, 3, B)),
         subtree_com=z(nbody, 3), cinert=z(nbody, 6, 6), cdof=z(nv, 6),
-        ten_length=z(model.ntendon), ten_moment=z(model.ntendon, nv),
-        qM=z(nv, nv), qLD=z(nv, nv), qLD_scale=z(nv), contact=contact,
+        ten_length=z(model.ntendon),
+        qM=z(nM), qLD=z(nM), qLDiagInv=z(nv), contact=contact,
         cvel=z(nbody, 6), cdof_dot=z(nv, 6),
         ten_velocity=z(model.ntendon),
         qfrc_bias=z(nv), qfrc_passive=z(nv), qfrc_fluid=z(nv),
         actuator_length=z(model.nu), actuator_velocity=z(model.nu),
-        actuator_moment=z(model.nu, nv), actuator_force=z(model.nu),
+        actuator_force=z(model.nu),
         act_dot=z(model.na), qfrc_actuator=z(nv),
         qfrc_smooth=z(nv), qacc_smooth=z(nv),
         qfrc_constraint=z(nv), qacc=z(nv),
@@ -417,3 +433,24 @@ def make_data(model: Model, dtype=None) -> Data:
         contact_force=z(ncon, 3),
         sensordata=z(model.nsensordata),
     )
+
+
+def unbatch(x):
+    """Strip the trailing batch axis (per-env view of batched pytrees)."""
+    import jax
+
+    return jax.tree_util.tree_map(lambda a: np.asarray(a)[..., 0], x)
+
+
+def batch1(x):
+    """Add a trailing batch axis of size 1 to every leaf."""
+    import jax
+
+    return jax.tree_util.tree_map(lambda a: jnp.asarray(a)[..., None], x)
+
+
+def qm_dense(model: Model, d: Data) -> jnp.ndarray:
+    """Dense symmetric (nv, nv, B) view of the compressed mass matrix."""
+    from flybody_tpu.ops import tree_ldl as TL
+
+    return TL.sparse_to_dense(model.tree, d.qM)

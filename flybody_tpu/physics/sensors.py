@@ -5,7 +5,7 @@ thorax accelerometer/gyro/velocimeter, 6 tarsus force, 6 claw touch) plus
 generic joint/frame/tendon sensors used by tasks. Acceleration-dependent
 sensors use a post-constraint RNE sweep (cacc / cfrc_int) equivalent to
 MuJoCo's mj_rnePostConstraint, built from the same level-parallel passes
-as the smooth stage.
+as the smooth stage. Batch-native: all arrays carry the trailing env axis.
 """
 
 from __future__ import annotations
@@ -14,38 +14,41 @@ import numpy as np
 
 import jax.numpy as jnp
 
+from flybody_tpu.math import bquat as bq
 from flybody_tpu.physics import smooth as S
 from flybody_tpu.physics import types as T
 from flybody_tpu.physics.types import Data, Model
 
 
 def _contact_body_forces(m: Model, d: Data) -> jnp.ndarray:
-    """(nbody, 6) spatial contact forces (at com-root origin, world frame)
-    accumulated from solved contact-slot forces."""
+    """(nbody, 6, B) spatial contact forces (at com-root origin, world
+    frame) accumulated from solved contact-slot forces."""
     dtype = d.qpos.dtype
-    out = jnp.zeros((m.nbody, 6), dtype=dtype)
+    B = d.qpos.shape[-1]
+    out = jnp.zeros((m.nbody, 6, B), dtype=dtype)
     if m.ncon_max == 0:
         return out
     from flybody_tpu.physics.actuation import _slot_bodies
     b1, b2 = _slot_bodies(m)
     # world-frame force on body2 (normal points g1 -> g2; positive normal
     # force pushes the bodies apart, i.e. acts along -normal on body2)
-    F = -jnp.einsum("cdk,cd->ck", d.contact.frame, d.contact_force)
+    F = -jnp.einsum("cdkB,cdB->ckB", d.contact.frame, d.contact_force)
     root = np.asarray(m.body_rootid)
     r2 = d.contact.pos - d.subtree_com[root[b2]]
     r1 = d.contact.pos - d.subtree_com[root[b1]]
-    out = out.at[b2, 3:].add(F).at[b2, :3].add(jnp.cross(r2, F))
-    out = out.at[b1, 3:].add(-F).at[b1, :3].add(jnp.cross(r1, -F))
+    out = out.at[b2, 3:].add(F).at[b2, :3].add(bq.cross(r2, F))
+    out = out.at[b1, 3:].add(-F).at[b1, :3].add(bq.cross(r1, -F))
     return out
 
 
 def rne_postconstraint(m: Model, d: Data):
-    """cacc (nbody,6) and cfrc_int (nbody,6) given solved qacc."""
+    """cacc (nbody, 6, B) and cfrc_int (nbody, 6, B) given solved qacc."""
     dtype = d.qpos.dtype
+    B = d.qpos.shape[-1]
     grav = jnp.concatenate(
         [jnp.zeros(3, dtype=dtype), -m.opt.gravity.astype(dtype)])
-    cacc = jnp.broadcast_to(grav, (m.nbody, 6))
-    contrib = d.cdof_dot * d.qvel[:, None] + d.cdof * d.qacc[:, None]
+    cacc = jnp.broadcast_to(grav[:, None], (m.nbody, 6, B))
+    contrib = d.cdof_dot * d.qvel[:, None, :] + d.cdof * d.qacc[:, None, :]
     for level in m.body_tree:
         lev = np.asarray(level)
         pid = np.asarray(m.body_parentid)[lev]
@@ -55,20 +58,20 @@ def rne_postconstraint(m: Model, d: Data):
         for slot in range(int(dofnum.max()) if len(dofnum) else 0):
             has = dofnum > slot
             didx = np.where(has, dofadr + slot, 0)
-            a = a + jnp.where(jnp.asarray(has)[:, None], contrib[didx], 0.0)
+            a = a + jnp.where(jnp.asarray(has)[:, None, None],
+                              contrib[didx], 0.0)
         cacc = cacc.at[lev].set(a)
 
-    # external forces: contacts + xfrc + fluid (as body spatial forces)
     cfrc_ext = _contact_body_forces(m, d)
     root = np.asarray(m.body_rootid)
     offset = d.xipos - d.subtree_com[root]
     force = d.xfrc_applied[:, :3]
     torque = d.xfrc_applied[:, 3:]
-    cfrc_ext = cfrc_ext.at[:, :3].add(torque + jnp.cross(offset, force))
+    cfrc_ext = cfrc_ext.at[:, :3].add(torque + bq.cross(offset, force))
     cfrc_ext = cfrc_ext.at[:, 3:].add(force)
 
-    Iv = jnp.einsum("bij,bj->bi", d.cinert, d.cvel)
-    cfrc_int = (jnp.einsum("bij,bj->bi", d.cinert, cacc)
+    Iv = jnp.einsum("bijB,bjB->biB", d.cinert, d.cvel)
+    cfrc_int = (jnp.einsum("bijB,bjB->biB", d.cinert, cacc)
                 + S.force_cross(d.cvel, Iv) - cfrc_ext)
     for level in reversed(m.body_tree):
         lev = np.asarray(level)
@@ -79,17 +82,18 @@ def rne_postconstraint(m: Model, d: Data):
 
 def _spatial_at_point(vec6, origin, point):
     """Translate spatial (ang, lin) vector from `origin` to `point`."""
-    ang = vec6[..., :3]
-    lin = vec6[..., 3:] + jnp.cross(ang, point - origin)
+    ang = vec6[..., :3, :]
+    lin = vec6[..., 3:, :] + bq.cross(ang, point - origin)
     return ang, lin
 
 
 def sensor(m: Model, d: Data) -> Data:
-    """Evaluate all sensors into sensordata."""
+    """Evaluate all sensors into sensordata (nsensordata, B)."""
     if m.nsensor == 0:
         return d
     dtype = d.qpos.dtype
-    out = jnp.zeros((m.nsensordata,), dtype=dtype)
+    B = d.qpos.shape[-1]
+    out = jnp.zeros((m.nsensordata, B), dtype=dtype)
 
     types = np.asarray(m.sensor_type)
     objid = np.asarray(m.sensor_objid)
@@ -111,32 +115,31 @@ def sensor(m: Model, d: Data) -> Data:
             b = site_body[oid]
             com = d.subtree_com[root[b]]
             p = d.site_xpos[oid]
-            R = d.site_xmat[oid]
+            R = d.site_xmat[oid]                      # (3, 3, B)
             ang_w, lin_w = _spatial_at_point(d.cvel[b], com, p)
             if st == T.SENS_GYRO:
-                out = out.at[a:a + 3].set(R.T @ ang_w)
+                out = out.at[a:a + 3].set(bq.matvec_t(R, ang_w))
             elif st == T.SENS_VELOCIMETER:
-                out = out.at[a:a + 3].set(R.T @ lin_w)
+                out = out.at[a:a + 3].set(bq.matvec_t(R, lin_w))
             elif st == T.SENS_ACCELEROMETER:
                 aang, alin = _spatial_at_point(cacc[b], com, p)
-                alin = alin + jnp.cross(ang_w, lin_w)
-                out = out.at[a:a + 3].set(R.T @ alin)
+                alin = alin + bq.cross(ang_w, lin_w)
+                out = out.at[a:a + 3].set(bq.matvec_t(R, alin))
             else:  # FORCE: interaction force on the body subtree, at site
-                _, flin = _spatial_at_point(cfrc_int[b], com, p)
-                out = out.at[a:a + 3].set(R.T @ cfrc_int[b, 3:])
-                del flin
+                out = out.at[a:a + 3].set(bq.matvec_t(R, cfrc_int[b, 3:]))
         elif st == T.SENS_TOUCH:
             b = site_body[oid]
-            val = jnp.asarray(0.0, dtype)
+            val = jnp.zeros((B,), dtype)
             if m.ncon_max:
                 from flybody_tpu.physics.actuation import _slot_bodies
                 b1s, b2s = _slot_bodies(m)
-                on = jnp.asarray(((b1s == b) | (b2s == b)).astype(np.float32),
-                                 dtype=dtype)
-                active = (d.contact.dist
-                          < m.con_includemargin.astype(dtype))
-                val = jnp.sum(jnp.where(active, d.contact_force[:, 0], 0.0)
-                              * on)
+                on = np.nonzero((b1s == b) | (b2s == b))[0]
+                if len(on):
+                    active = (d.contact.dist[on]
+                              < m.con_includemargin[on, None].astype(dtype))
+                    val = jnp.sum(jnp.where(active,
+                                            d.contact_force[on, 0], 0.0),
+                                  axis=0)
             out = out.at[a].set(jnp.maximum(val, 0.0))
         elif st == T.SENS_JOINTPOS:
             out = out.at[a].set(d.qpos[np.asarray(m.jnt_qposadr)[oid]])
@@ -157,15 +160,13 @@ def sensor(m: Model, d: Data) -> Data:
             elif st == T.SENS_FRAMEZAXIS:
                 out = out.at[a:a + 3].set(mat[:, 2])
             else:
-                from flybody_tpu.math import quaternions as mq
-                out = out.at[a:a + 4].set(mq.mat_to_quat(mat))
+                out = out.at[a:a + 4].set(bq.from_mat(mat))
         elif st == T.SENS_SUBTREECOM:
             out = out.at[a:a + 3].set(d.subtree_com[oid])
         elif st == T.SENS_SUBTREELINVEL:
-            # mass-weighted subtree com velocity
             off = d.xipos - d.subtree_com[root]
-            vcom = d.cvel[:, 3:] + jnp.cross(d.cvel[:, :3], off)
-            mom = m.body_mass[:, None] * vcom
+            vcom = d.cvel[:, 3:] + bq.cross(d.cvel[:, :3], off)
+            mom = m.body_mass[:, None, None] * vcom
             acc = mom
             for level in reversed(m.body_tree):
                 lev = np.asarray(level)

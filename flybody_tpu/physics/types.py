@@ -4,14 +4,30 @@ Design (TPU-first, not a port):
 
 * ``Model`` is a pytree whose *numeric parameters* (masses, inertias, gains,
   spring constants, geometry sizes, ...) are JAX arrays — they are traced
-  under jit so they can be domain-randomized or vmapped without retracing —
-  while *structural metadata* (tree topology, joint types, index tables,
-  candidate collision pairs) is static numpy carried as pytree aux data.
-  Static structure is what lets the compiler unroll the kinematic tree into
-  a fixed level-parallel schedule with static gathers.
+  under jit so they can be domain-randomized without retracing — while
+  *structural metadata* (tree topology, joint types, index tables, candidate
+  collision pairs, the sparse mass-matrix layout) is static numpy carried as
+  pytree aux data. Static structure is what lets the compiler unroll the
+  kinematic tree into a fixed level-parallel schedule with static gathers.
 
-* ``Data`` is the per-env dynamic state: a small pytree of flat arrays.
-  Batching = ``jax.vmap`` over ``Data`` with a shared ``Model``.
+* ``Data`` is the dynamic state of a whole BATCH of environments: every
+  array carries a trailing batch axis B (``qpos (nq, B)``, ``xpos
+  (nbody, 3, B)``, ...). The engine is natively batched — there is no vmap
+  in the hot path. The trailing batch axis maps onto TPU vector lanes, so
+  each scalar operation of the classical algorithms becomes one full-width
+  VPU op; materialized intermediates tile with no lane padding (the round-1
+  engine used vmap with leading batch, which tiles (B, n, 3) tensors at up
+  to 42x bandwidth waste — the dominant cost of the 968 steps/s round-1
+  bench).
+
+* The joint-space inertia is stored COMPRESSED (``qM (nM, B)`` over the
+  kinematic-tree sparsity pattern, nM = 586 vs 5565 dense for the fly) and
+  factorized with a level-parallel sparse LDL^T (``ops/tree_ldl``) — ~87x
+  fewer FLOPs than the dense Cholesky and no (nv, nv, B) traffic.
+
+Per-env task/observation code still runs unchanged: entity-major shapes are
+preserved ahead of the batch axis, so ``jax.vmap(fn, in_axes=-1)`` presents
+the familiar single-env view (see envs/core.py).
 
 Semantics follow the MuJoCo computation pipeline (the reference framework
 delegates all physics to MuJoCo C via dm_control; see SURVEY.md L0 and
@@ -160,6 +176,7 @@ _MODEL_META = (
     "jnt_type", "jnt_qposadr", "jnt_dofadr", "jnt_bodyid", "jnt_limited",
     "dof_bodyid", "dof_jntid", "dof_parentid", "ancestor_mask",
     "body_dof_mask",
+    "tree",       # ops/tree_ldl.TreeMeta: sparse M layout + schedules
     "geom_type", "geom_bodyid", "geom_condim", "geom_priority",
     "geom_fluid_active",
     "site_bodyid",
@@ -171,6 +188,7 @@ _MODEL_META = (
     "sensor_dim",
     "pair_geom1", "pair_geom2", "pair_type",  # candidate collision pairs
     "con_dim",  # per-contact-slot condim (static, from pair geoms)
+    "con_sel",  # ((condim, K) ...) active-island sizes per condim group
     "names",
     "nhfield", "hfield_nrow", "hfield_ncol",
 )
@@ -204,6 +222,7 @@ class Model:
     dof_bodyid: Static; dof_jntid: Static; dof_parentid: Static
     ancestor_mask: Static  # (nv, nv) bool: j is ancestor-or-self dof of i
     body_dof_mask: Static  # (nbody, nv) bool: dof supports body
+    tree: Any              # TreeMeta (static; identity-hashed)
     geom_type: Static; geom_bodyid: Static
     geom_condim: Static; geom_priority: Static
     geom_fluid_active: Static  # (ngeom,) bool: ellipsoid fluid model on
@@ -217,6 +236,7 @@ class Model:
     sensor_adr: Static; sensor_dim: Static
     pair_geom1: Static; pair_geom2: Static; pair_type: Static
     con_dim: Static
+    con_sel: tuple
     names: Any  # dict of name tables (static)
 
     # ---- numeric parameters (traced jnp arrays) ----
@@ -258,30 +278,33 @@ class Model:
 
 @pytree(meta=())
 class Contact:
-    """Per-env dynamic contact state (fixed ncon_max slots).
+    """Batched dynamic contact state (fixed ncon_max candidate slots).
 
     Slot-constant data (combined solref/solimp/friction/includemargin and
-    the geom pair per slot) lives in Model (con_* fields / pair tables) —
-    keeping it out of Data halves contact memory under vmap.
+    the geom pair per slot) lives in Model (con_* fields / pair tables).
     """
 
-    dist: jax.Array       # (ncon,)
-    pos: jax.Array        # (ncon, 3)
-    frame: jax.Array      # (ncon, 3, 3): rows = normal, tangent1, tangent2
+    dist: jax.Array       # (ncon, B)
+    pos: jax.Array        # (ncon, 3, B)
+    frame: jax.Array      # (ncon, 3, 3, B): rows = normal, tangent1, tangent2
 
 
 @pytree(meta=())
 class Data:
-    """Dynamic per-env state, MuJoCo mjData analog as a flat pytree."""
+    """Dynamic state of a batch of envs; MuJoCo mjData analog.
+
+    Every array has a trailing batch axis B. ``jax.vmap(f, in_axes=-1)``
+    over a Data presents per-env views with the familiar mjData shapes.
+    """
 
     # state
-    qpos: jax.Array       # (nq,)
-    qvel: jax.Array       # (nv,)
-    act: jax.Array        # (na,)
-    ctrl: jax.Array       # (nu,)
-    qfrc_applied: jax.Array  # (nv,)
-    xfrc_applied: jax.Array  # (nbody, 6)
-    time: jax.Array
+    qpos: jax.Array       # (nq, B)
+    qvel: jax.Array       # (nv, B)
+    act: jax.Array        # (na, B)
+    ctrl: jax.Array       # (nu, B)
+    qfrc_applied: jax.Array  # (nv, B)
+    xfrc_applied: jax.Array  # (nbody, 6, B)
+    time: jax.Array       # (B,)
 
     # fwd_position products
     xpos: jax.Array; xquat: jax.Array; xmat: jax.Array
@@ -289,39 +312,43 @@ class Data:
     xanchor: jax.Array; xaxis: jax.Array
     geom_xpos: jax.Array; geom_xmat: jax.Array
     site_xpos: jax.Array; site_xmat: jax.Array
-    subtree_com: jax.Array  # (nbody, 3)
-    cinert: jax.Array       # (nbody, 6, 6) spatial inertia at com-root origin
-    cdof: jax.Array         # (nv, 6)
-    ten_length: jax.Array   # (ntendon,)
-    ten_moment: jax.Array   # (ntendon, nv)
-    qM: jax.Array           # (nv, nv) dense
-    qLD: jax.Array          # (nv, nv) scaled cholesky factor of qM
-    qLD_scale: jax.Array    # (nv,) Jacobi scale of the factorization
+    subtree_com: jax.Array  # (nbody, 3, B)
+    cinert: jax.Array       # (nbody, 6, 6, B) spatial inertia, com-root origin
+    cdof: jax.Array         # (nv, 6, B)
+    ten_length: jax.Array   # (ntendon, B)
+    qM: jax.Array           # (nM, B) compressed (tree-sparse) inertia
+    qLD: jax.Array          # (nM, B) sparse LDL^T factor (L off-diag, D diag)
+    qLDiagInv: jax.Array    # (nv, B) 1/D of the factorization
     contact: Contact
 
     # fwd_velocity products
-    cvel: jax.Array         # (nbody, 6)
-    cdof_dot: jax.Array     # (nv, 6)
+    cvel: jax.Array         # (nbody, 6, B)
+    cdof_dot: jax.Array     # (nv, 6, B)
     ten_velocity: jax.Array
     qfrc_bias: jax.Array
     qfrc_passive: jax.Array
     qfrc_fluid: jax.Array
 
     # actuation
-    actuator_length: jax.Array
-    actuator_velocity: jax.Array
-    actuator_moment: jax.Array  # (nu, nv)
-    actuator_force: jax.Array
-    act_dot: jax.Array
-    qfrc_actuator: jax.Array
+    actuator_length: jax.Array    # (nu, B)
+    actuator_velocity: jax.Array  # (nu, B)
+    actuator_force: jax.Array     # (nu, B)
+    act_dot: jax.Array            # (na, B)
+    qfrc_actuator: jax.Array      # (nv, B)
 
     # acceleration & constraints
     qfrc_smooth: jax.Array
     qacc_smooth: jax.Array
     qfrc_constraint: jax.Array
     qacc: jax.Array
-    efc_force: jax.Array    # (nefc,)
-    contact_force: jax.Array  # (ncon_max, 3): (normal, t1, t2) per slot
+    efc_force: jax.Array      # (nefc, B) selected rows, rest zero
+    contact_force: jax.Array  # (ncon_max, 3, B): (normal, t1, t2) per slot
 
     # sensors
-    sensordata: jax.Array
+    sensordata: jax.Array     # (nsensordata, B)
+
+
+# Fields that constitute the true dynamical state (everything else is
+# recomputed by forward()); used by env auto-reset to swap only state.
+STATE_FIELDS = ("qpos", "qvel", "act", "ctrl", "qfrc_applied",
+                "xfrc_applied", "time", "contact_force")
