@@ -27,22 +27,24 @@ def main():
 
     env = walk_on_ball()
     rng = jax.random.PRNGKey(0)
-    reset = jax.jit(jax.vmap(env.reset))
-    step = jax.jit(jax.vmap(env.autoreset_step))
+    reset = jax.jit(env.reset)
+    step = jax.jit(env.autoreset_step)
 
     states = reset(jax.random.split(rng, num_envs))
     lo, hi = env.action_spec()
     mid = jnp.broadcast_to(jnp.asarray((lo + hi) / 2, jnp.float32),
                            (num_envs, env.action_size))
 
-    # compile + warmup
+    # compile + warmup. NOTE: on the axon-tunneled TPU,
+    # jax.block_until_ready returns before device execution completes, so
+    # every timing fence below fetches a scalar instead.
     states = step(states, mid)
-    jax.block_until_ready(states.data.qpos)
+    float(jnp.sum(states.data.qpos[0]))
 
     t0 = time.perf_counter()
     for _ in range(iters):
         states = step(states, mid)
-    jax.block_until_ready(states.data.qpos)
+    float(jnp.sum(states.data.qpos[0]))
     dt = time.perf_counter() - t0
 
     steps_per_s = num_envs * iters / dt

@@ -47,13 +47,11 @@ def make_rollout_fn(env, policy_apply, cfg: RolloutConfig,
     lo, hi = env.action_spec()
     lo = jnp.asarray(lo, jnp.float32)
     hi = jnp.asarray(hi, jnp.float32)
-    vstep = jax.vmap(env.step)
-    vreset = jax.vmap(env.reset)
 
     def rollout(params, env_states, rng):
         def one(carry, _):
             states, rng_, delay_buf = carry
-            rng_, k_act, k_reset = jax.random.split(rng_, 3)
+            rng_, k_act = jax.random.split(rng_)
             obs_flat = jax.vmap(batch_concat)(states.obs)
             dist = policy_apply(params, obs_flat)
             canonical = dist.sample(k_act) if stochastic else dist.mode()
@@ -65,15 +63,9 @@ def make_rollout_fn(env, policy_apply, cfg: RolloutConfig,
                     [delay_buf[1:], canonical[None]], axis=0)
                 canonical = delayed
             actions = canonical_to_real(canonical, lo, hi)
-            stepped = vstep(states, actions)
+            stepped = env.step(states, actions)
             obs_after = jax.vmap(batch_concat)(stepped.obs)
-            n_env = obs_flat.shape[0]
-            fresh = vreset(jax.random.split(k_reset, n_env))
-            next_states = jax.tree.map(
-                lambda new, old: jnp.where(
-                    stepped.done.reshape((-1,) + (1,) * (new.ndim - 1)),
-                    new, old),
-                fresh, stepped)
+            next_states = env.apply_autoreset(stepped)
             out = dict(obs=obs_flat, action=canonical,
                        reward=stepped.reward, discount=stepped.discount,
                        done=stepped.done, obs_after=obs_after,

@@ -29,18 +29,16 @@ def make_evaluator(env, policy_apply, eval_average_over: int = 8):
     lo = jnp.asarray(lo, jnp.float32)
     hi = jnp.asarray(hi, jnp.float32)
     n_steps = env.episode_steps
-    vstep = jax.vmap(env.step)
 
     def evaluate(params, rng):
-        states = jax.vmap(env.reset)(
-            jax.random.split(rng, eval_average_over))
+        states = env.reset(jax.random.split(rng, eval_average_over))
 
         def one(carry, _):
             states, ret, length, alive = carry
             obs_flat = jax.vmap(batch_concat)(states.obs)
             dist = policy_apply(params, obs_flat)
             actions = canonical_to_real(dist.mode(), lo, hi)
-            states = vstep(states, actions)
+            states = env.step(states, actions)
             ret = ret + jnp.where(alive, states.reward, 0.0)
             length = length + alive.astype(jnp.int32)
             alive = alive & ~states.done

@@ -52,7 +52,8 @@ class DMPOTrainer:
         self.env = env
         self.cfg = cfg
         # infer obs size from a concrete reset
-        state0 = jax.eval_shape(env.reset, jax.random.PRNGKey(0))
+        state0 = jax.eval_shape(
+            env.reset, jax.random.split(jax.random.PRNGKey(0), 1))
         obs_size = int(sum(int(jnp.prod(jnp.asarray(x.shape or (1,))))
                            for x in jax.tree.leaves(state0.obs)))
         self.obs_size = obs_size
@@ -76,7 +77,7 @@ class DMPOTrainer:
     def init(self, rng) -> LoopState:
         k_learn, k_env, k_loop = jax.random.split(rng, 3)
         train = self.learner.init(k_learn)
-        env_states = jax.vmap(self.env.reset)(
+        env_states = self.env.reset(
             jax.random.split(k_env, self.cfg.num_envs))
         example = self._example_transition()
         replay = rp.replay_init(self.cfg.replay_capacity, example)

@@ -1,17 +1,23 @@
-"""Functional environment core: batched, jittable fly RL environments.
+"""Functional environment core: natively batched, jittable RL environments.
 
 Re-design of the reference env stack (dm_control composer.Environment +
-task hooks, SURVEY.md §3.1-3.2) as a pure state machine:
+task hooks, SURVEY.md §3.1-3.2) as a pure state machine over a BATCH of
+envs:
 
-    env = FlyEnv(task)
-    state = env.reset(rng)                     # pure
-    state = env.step(state, action)            # pure: substeps + obs/reward
+    env = FlyEnv(model, task)
+    states = env.reset(keys)                   # keys (B, 2) -> batched state
+    states = env.step(states, actions)         # actions (B, act_dim)
 
-* Batched execution is `jax.vmap(env.step)`; auto-reset is a masked
-  in-graph state swap (no per-episode recompilation — SURVEY.md §7).
-* Observations are a flat dict of arrays; sensor observables are averaged
-  over the control step's substeps, matching the reference's buffered
-  observables (reference vnl_ray/fruitfly/fruitfly.py:573-620).
+* The physics substep loop runs on the batch-native engine (trailing env
+  axis, physics/types.py) with no vmap — this is the hot path.
+* Task hooks (init_state / before_step / observations / rewards) are
+  written in the familiar per-env style and wrapped here with
+  ``jax.vmap(..., in_axes=-1)``, which presents single-env views of the
+  batched Data. Observations come out batch-leading (B, dim) for the
+  agent stack.
+* Auto-reset is a masked in-graph swap of the TRUE STATE ONLY
+  (types.STATE_FIELDS) — derived quantities are recomputed by the next
+  step, so the swap does not touch the large derived buffers.
 * Episode bookkeeping (step index, discount, termination reason) lives in
   the state pytree.
 """
@@ -19,7 +25,7 @@ task hooks, SURVEY.md §3.1-3.2) as a pure state machine:
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Callable
+from typing import Any
 
 import numpy as np
 
@@ -28,37 +34,38 @@ import jax.numpy as jnp
 
 from flybody_tpu.physics import forward as F
 from flybody_tpu.physics import io_mj
+from flybody_tpu.physics import types as T
 from flybody_tpu.physics.types import Data, Model, pytree
 
 
 @pytree(meta=())
 class EnvState:
-    data: Data
-    obs: Any              # dict[str, Array]
-    reward: jax.Array
-    done: jax.Array       # bool
-    discount: jax.Array
-    step_idx: jax.Array   # int32 control steps since episode start
-    rng: jax.Array
-    task_state: Any       # task-specific pytree (reference snippets, etc.)
-    metrics: Any          # dict of per-step diagnostics
+    data: Data            # batch-native (trailing B)
+    obs: Any              # dict[str, (B, ...)]
+    reward: jax.Array     # (B,)
+    done: jax.Array       # (B,) bool
+    discount: jax.Array   # (B,)
+    step_idx: jax.Array   # (B,) int32 control steps since episode start
+    rng: jax.Array        # (B, 2)
+    task_state: Any       # task-specific pytree, trailing B
+    metrics: Any          # dict of per-step diagnostics, (B,)
 
 
 class Task:
-    """Task protocol. Subclasses provide pure functions over (model, data).
+    """Task protocol. Subclasses provide pure PER-ENV functions over
+    (model, per-env data views); the env wraps them with vmap.
 
     This replaces the reference composer.Task hook set
     (initialize_episode / before_step / get_reward / check_termination,
     reference vnl_ray/tasks/base.py) with a functional interface.
     """
 
-    # control timestep / physics timestep
     ctrl_dt: float = 2e-3
     phys_dt: float = 2e-4
     time_limit: float = 1.0
 
     def init_state(self, model: Model, data: Data, rng) -> tuple[Data, Any]:
-        """Set episode-initial qpos/qvel and task state."""
+        """Set episode-initial qpos/qvel and task state (per env)."""
         return data, ()
 
     def before_step(self, model: Model, data: Data, task_state,
@@ -80,12 +87,11 @@ class Task:
 
 
 class FlyEnv:
-    """Pure functional environment wrapping the physics engine + a Task."""
+    """Pure functional batched environment: physics engine + a Task."""
 
     def __init__(self, model: Model, task: Task, mj_model=None,
                  dtype=jnp.float32):
         self.model = model
-        # override timestep from the task
         self.model.opt.timestep = jnp.asarray(task.phys_dt, dtype=dtype)
         self.mj_model = mj_model  # kept for host-side rendering only
         self.task = task
@@ -104,27 +110,37 @@ class FlyEnv:
 
     # -- pure API ----------------------------------------------------------
     def reset(self, rng: jax.Array) -> EnvState:
-        data = io_mj.make_data(self.model, dtype=self.dtype)
-        rng, key = jax.random.split(rng)
-        data, task_state = self.task.init_state(self.model, data, key)
+        """rng: (B, 2) batched PRNG keys -> batched EnvState."""
+        B = rng.shape[0]
+        data = io_mj.make_data(self.model, B=B, dtype=self.dtype)
+        keys = jax.vmap(jax.random.split)(rng)      # (B, 2, 2)
+        rng_next, init_keys = keys[:, 0], keys[:, 1]
+        data, task_state = jax.vmap(
+            lambda d, k: self.task.init_state(self.model, d, k),
+            in_axes=(-1, 0), out_axes=-1)(data, init_keys)
         data = F.fwd_position(self.model, data)
         data = F.fwd_velocity(self.model, data)
-        sensor0 = data.sensordata[None]
-        obs = self.task.observations(self.model, data, task_state,
-                                     jnp.mean(sensor0, axis=0))
-        zero = jnp.asarray(0.0, self.dtype)
+        obs = self._obs(data, task_state, data.sensordata)
+        zero = jnp.zeros((B,), self.dtype)
         return EnvState(
             data=data, obs=obs, reward=zero,
-            done=jnp.asarray(False),
-            discount=jnp.asarray(1.0, self.dtype),
-            step_idx=jnp.asarray(0, jnp.int32), rng=rng,
+            done=jnp.zeros((B,), bool),
+            discount=jnp.ones((B,), self.dtype),
+            step_idx=jnp.zeros((B,), jnp.int32), rng=rng_next,
             task_state=task_state,
             metrics={"episode_return": zero})
 
+    def _obs(self, data, task_state, sensor_mean):
+        return jax.vmap(
+            lambda d, ts, sm: self.task.observations(self.model, d, ts, sm),
+            in_axes=(-1, -1, -1), out_axes=0)(data, task_state, sensor_mean)
+
     def step(self, state: EnvState, action: jax.Array) -> EnvState:
         model, task = self.model, self.task
-        data, task_state = task.before_step(model, state.data,
-                                            state.task_state, action)
+        data, task_state = jax.vmap(
+            lambda d, ts, a: task.before_step(model, d, ts, a),
+            in_axes=(-1, -1, 0), out_axes=-1)(
+                state.data, state.task_state, action)
 
         def substep(d, _):
             d = F.step(model, d)
@@ -133,11 +149,14 @@ class FlyEnv:
         data, sensor_hist = jax.lax.scan(substep, data, None,
                                          length=self.n_substeps)
         sensor_mean = jnp.mean(sensor_hist, axis=0)
-        data, task_state = task.after_substeps(model, data, task_state)
+        data, task_state = jax.vmap(
+            lambda d, ts: task.after_substeps(model, d, ts),
+            in_axes=(-1, -1), out_axes=-1)(data, task_state)
 
-        obs = task.observations(model, data, task_state, sensor_mean)
-        reward, terminated, discount = task.reward_term_discount(
-            model, data, task_state, sensor_mean)
+        obs = self._obs(data, task_state, sensor_mean)
+        reward, terminated, discount = jax.vmap(
+            lambda d, ts, sm: task.reward_term_discount(model, d, ts, sm),
+            in_axes=(-1, -1, -1), out_axes=0)(data, task_state, sensor_mean)
         step_idx = state.step_idx + 1
         truncated = step_idx >= self.episode_steps
         done = jnp.logical_or(terminated, truncated)
@@ -151,16 +170,40 @@ class FlyEnv:
                      state.metrics["episode_return"] + reward})
 
     def autoreset_step(self, state: EnvState, action) -> EnvState:
-        """step() with in-graph episode auto-reset on done (for batched
-        lockstep rollouts; reference analog: acme EnvironmentLoop restart)."""
-        state = self.step(state, action)
-        rng, key = jax.random.split(state.rng)
-        fresh = self.reset(key)
-        fresh = dataclasses.replace(fresh, rng=rng)
-        # scalar done broadcasts against every leaf
-        reset_state = jax.tree.map(
-            lambda new, old: jnp.where(state.done, new, old), fresh, state)
-        # keep reward/done/discount of the terminal step visible
-        return dataclasses.replace(
-            reset_state, reward=state.reward, done=state.done,
-            discount=state.discount)
+        """step() + apply_autoreset (batched lockstep rollouts; reference
+        analog: acme EnvironmentLoop restart)."""
+        return self.apply_autoreset(self.step(state, action))
+
+    def apply_autoreset(self, state: EnvState) -> EnvState:
+        """In-graph per-env episode reset on done. Only the true dynamical
+        state (types.STATE_FIELDS) is swapped; the terminal step's
+        reward/done/discount stay visible."""
+        keys = jax.vmap(jax.random.split)(state.rng)
+        rng, reset_keys = keys[:, 0], keys[:, 1]
+        fresh = self.reset(reset_keys)
+
+        done = state.done                        # (B,)
+
+        def swap_tail(new, old):
+            # leaves with trailing batch axis
+            return jnp.where(done, new, old)
+
+        def swap_lead(new, old):
+            # leaves with leading batch axis (obs, bookkeeping)
+            d = done.reshape((-1,) + (1,) * (new.ndim - 1))
+            return jnp.where(d, new, old)
+
+        data = state.data
+        repl = {f: swap_tail(getattr(fresh.data, f), getattr(data, f))
+                for f in T.STATE_FIELDS}
+        data = data.replace(**repl)
+        task_state = jax.tree_util.tree_map(
+            swap_tail, fresh.task_state, state.task_state)
+        obs = jax.tree_util.tree_map(swap_lead, fresh.obs, state.obs)
+        metrics = jax.tree_util.tree_map(
+            swap_lead, fresh.metrics, state.metrics)
+        return EnvState(
+            data=data, obs=obs,
+            reward=state.reward, done=state.done, discount=state.discount,
+            step_idx=jnp.where(done, fresh.step_idx, state.step_idx),
+            rng=rng, task_state=task_state, metrics=metrics)

@@ -138,16 +138,17 @@ class FlyWalker:
 
     def self_contact(self, model: Model, data: Data):
         """Sum of self-contact normal force magnitudes
-        (reference fruitfly.py:640-659)."""
-        if model.ncon_max == 0:
+        (reference fruitfly.py:640-659). Works on the per-env view:
+        warm_sel (Ksum,), warm_f (Ksum, 3)."""
+        if model.ncon_max == 0 or data.warm_sel.shape[0] == 0:
             return jnp.zeros(())
         # fly-fly contacts: both geoms on non-world bodies
-        gb = np.asarray(model.geom_bodyid)
         from flybody_tpu.physics.actuation import _slot_bodies
         b1, b2 = _slot_bodies(model)
         both_fly = jnp.asarray(((b1 != 0) & (b2 != 0)).astype(np.float32),
                                dtype=data.qpos.dtype)
-        return jnp.sum(jnp.abs(data.contact_force[:, 0]) * both_fly)
+        flag = both_fly[data.warm_sel]          # (Ksum,)
+        return jnp.sum(jnp.abs(data.warm_f[:, 0]) * flag)
 
     def egocentric_to_world(self, data: Data, vec):
         return mq.rotate_vec_with_quat(vec, data.xquat[self.thorax_id])

@@ -1,11 +1,12 @@
 """Public environment factories (reference vnl_ray/fly_envs.py parity).
 
 Each factory returns a functional ``FlyEnv`` whose ``reset``/``step``/
-``autoreset_step`` are pure and jit/vmap-able. Batched execution:
+``autoreset_step`` are pure, jit-able, and NATIVELY BATCHED (trailing
+env axis through the physics engine, batch-leading observations):
 
     env = walk_on_ball()
-    step = jax.jit(jax.vmap(env.autoreset_step))
-    states = jax.vmap(env.reset)(jax.random.split(key, 4096))
+    step = jax.jit(env.autoreset_step)
+    states = env.reset(jax.random.split(key, 4096))
     states = step(states, actions)
 """
 

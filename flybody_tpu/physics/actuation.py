@@ -70,8 +70,10 @@ _ADH_CACHE: dict = {}
 
 
 def _adhesion_plan(m: Model):
-    """Static plan: per adhesion actuator, its contact slots and the sparse
-    (slot, dof, sign) support triplets of the normal-direction jacobian."""
+    """Static flattened plan for ALL adhesion actuators: contact slots and
+    the sparse (slot, dof, sign) support triplets of the normal-direction
+    jacobian, concatenated with per-actuator segment ids so the runtime is
+    a single batched gather/scatter pass (not a per-actuator loop)."""
     key = id(m.actuator_trnid)
     if key in _ADH_CACHE:
         return _ADH_CACHE[key]
@@ -79,28 +81,38 @@ def _adhesion_plan(m: Model):
     body_acts = np.nonzero(trntype == T.TRN_BODY)[0]
     slot_b1, slot_b2 = _slot_bodies(m)
     bdm = np.asarray(m.body_dof_mask)
-    plans = []
+    acts, slot_list, slot_seg = [], [], []
+    tri_s, tri_v, tri_sign, tri_seg = [], [], [], []
     for u in body_acts:
         b = int(np.asarray(m.actuator_trnid)[u, 0])
         slots = np.nonzero((slot_b1 == b) | (slot_b2 == b))[0]
         if len(slots) == 0:
             continue
-        tri_s, tri_v, tri_sign = [], [], []
+        seg = len(acts)
+        acts.append(int(u))
         for s in slots:
+            slot_list.append(int(s))
+            slot_seg.append(seg)
             m1 = bdm[slot_b1[s]]
             m2 = bdm[slot_b2[s]]
             for v in np.nonzero(m1 | m2)[0]:
                 sign = float(m2[v]) - float(m1[v])
                 if sign != 0.0:
-                    tri_s.append(s); tri_v.append(v); tri_sign.append(sign)
-        plans.append(dict(
-            u=int(u), slots=np.asarray(slots, np.int32),
+                    tri_s.append(int(s)); tri_v.append(int(v))
+                    tri_sign.append(sign); tri_seg.append(seg)
+    plan = None
+    if acts:
+        plan = dict(
+            acts=np.asarray(acts, np.int32),
+            slots=np.asarray(slot_list, np.int32),
+            slot_seg=np.asarray(slot_seg, np.int32),
             tri_s=np.asarray(tri_s, np.int32),
             tri_v=np.asarray(tri_v, np.int32),
             tri_sign=np.asarray(tri_sign, np.float64),
-        ))
-    _ADH_CACHE[key] = plans
-    return plans
+            tri_seg=np.asarray(tri_seg, np.int32),
+        )
+    _ADH_CACHE[key] = plan
+    return plan
 
 
 def adhesion_qfrc(m: Model, d: Data, force: jnp.ndarray) -> jnp.ndarray:
@@ -108,35 +120,35 @@ def adhesion_qfrc(m: Model, d: Data, force: jnp.ndarray) -> jnp.ndarray:
     forces (nu, B). Matches mj_transmission mjTRN_BODY semantics: moment =
     -(mean over active contacts of the normal jacobian row) * gear."""
     qfrc = jnp.zeros_like(d.qvel)
-    plans = _adhesion_plan(m)
-    if not plans or m.ncon_max == 0:
+    plan = _adhesion_plan(m)
+    if plan is None or m.ncon_max == 0:
         return qfrc
     dtype = d.qpos.dtype
     root_of_dof = np.asarray(m.body_rootid)[np.asarray(m.dof_bodyid)]
     con = d.contact
-    for p in plans:
-        u = p["u"]
-        slots, tri_s, tri_v = p["slots"], p["tri_s"], p["tri_v"]
-        sign = jnp.asarray(p["tri_sign"], dtype)[:, None]
-        # active = within the full margin zone (adhesion acts across gap)
-        active = (con.dist[slots] < m.con_margin[slots, None]).astype(dtype)
-        count = jnp.sum(active, axis=0)                       # (B,)
-        n = con.frame[slots][:, 0]                            # (S, 3, B)
-        # per-triplet normal jacobian entry: n_s . jacp(v)
-        pos_s = con.pos[tri_s]                                # (Ptri, 3, B)
-        cd = d.cdof[tri_v]                                    # (Ptri, 6, B)
-        comroot = d.subtree_com[root_of_dof[tri_v]]           # (Ptri, 3, B)
-        jacp = cd[:, 3:] + bq.cross(cd[:, :3], pos_s - comroot)
-        slot_pos = {int(s): k for k, s in enumerate(slots)}
-        n_tri = n[np.asarray([slot_pos[int(s)] for s in tri_s])]
-        jn = jnp.sum(n_tri * jacp, axis=-2) * sign            # (Ptri, B)
-        act_tri = active[np.asarray([slot_pos[int(s)] for s in tri_s])]
-        gain = m.actuator_gear[u, 0]
-        scale = jnp.where(count > 0,
-                          -gain / jnp.maximum(count, 1.0), 0.0)  # (B,)
-        row_scaled = jn * act_tri * (scale * force[u])[None, :]
-        qfrc = qfrc.at[tri_v].add(row_scaled)
-    return qfrc
+    nact = len(plan["acts"])
+    slots, slot_seg = plan["slots"], plan["slot_seg"]
+    tri_s, tri_v, tri_seg = plan["tri_s"], plan["tri_v"], plan["tri_seg"]
+
+    # active = within the full margin zone (adhesion acts across gap)
+    active = (con.dist[slots] < m.con_margin[slots, None]).astype(dtype)
+    count = jnp.zeros((nact, active.shape[-1]),
+                      dtype).at[slot_seg].add(active)          # (nact, B)
+    # per-triplet normal jacobian entry: n_s . jacp(v), sign-corrected
+    pos_s = con.pos[tri_s]                                     # (P, 3, B)
+    n_tri = con.frame[tri_s][:, 0]                             # (P, 3, B)
+    cd = d.cdof[tri_v]                                         # (P, 6, B)
+    comroot = d.subtree_com[root_of_dof[tri_v]]
+    jacp = cd[:, 3:] + bq.cross(cd[:, :3], pos_s - comroot)
+    sign = jnp.asarray(plan["tri_sign"], dtype)[:, None]
+    jn = jnp.sum(n_tri * jacp, axis=-2) * sign                 # (P, B)
+    act_tri = (con.dist[tri_s] < m.con_margin[tri_s, None]).astype(dtype)
+    gain = m.actuator_gear[plan["acts"], 0]                    # (nact,)
+    scale = jnp.where(count > 0,
+                      -gain[:, None] / jnp.maximum(count, 1.0),
+                      0.0) * force[plan["acts"]]               # (nact, B)
+    row_scaled = jn * act_tri * scale[tri_seg]
+    return qfrc.at[tri_v].add(row_scaled)
 
 
 def actuation(m: Model, d: Data) -> Data:

@@ -258,8 +258,12 @@ def solve(m: Model, d: Data, iterations: int | None = None) -> Data:
                          qfrc_constraint=jnp.zeros_like(d.qvel))
     lim, groups = make_efc(m, d, meta)
     from flybody_tpu.physics import solver
+    # fixed iteration count (static shapes, no early exit on TPU). With
+    # Jacobi preconditioning + warm starting, ~16 APGD iterations reach
+    # MuJoCo-Newton-level accuracy for in-simulation contact states
+    # (tests pass explicit higher counts for strict oracle comparisons).
     niter = iterations if iterations is not None else min(
-        m.opt.solver_iterations, 32)
+        m.opt.solver_iterations, 16)
     f_lim, f_groups = solver.solve_dual(
         m, d, lim, groups, iterations=niter,
         noslip_iterations=m.opt.noslip_iterations)
@@ -278,31 +282,25 @@ def solve(m: Model, d: Data, iterations: int | None = None) -> Data:
     qacc = jnp.where(ok, qacc, d.qacc_smooth)
     qfrc = jnp.where(ok, qfrc, 0.0)
 
-    # bookkeeping: efc_force (selected rows) + per-slot contact forces
-    ef = jnp.zeros((m.nefc, d.qpos.shape[-1]), qacc.dtype)
-    ofs = 0
-    if lim is not None:
-        nl = len(lim.dadr)
-        ef = ef.at[:nl].set(f_lim * ok)
-        ofs = nl
-    cfrc = jnp.zeros((m.ncon_max, 3, d.qpos.shape[-1]), qacc.dtype)
-    for g, f in zip(groups, f_groups):
-        ndim = f.shape[1]
-        n = g.K * ndim
-        ef = ef.at[ofs:ofs + n].set(
-            jnp.swapaxes(f, 0, 1).reshape(n, -1) * ok)
-        ofs += n
-        pad = jnp.concatenate(
-            [f, jnp.zeros((g.K, 3 - ndim, f.shape[-1]), f.dtype)], axis=1)
-        cfrc = _scatter_slots(cfrc, g.sel, pad * ok)
-    return d.replace(qacc=qacc, qfrc_constraint=qfrc, efc_force=ef,
-                     contact_force=cfrc)
+    # compact selected-force bookkeeping (warm start + force consumers)
+    if groups:
+        warm_sel = jnp.concatenate([g.sel for g in groups], axis=0)
+        pads = []
+        for g, f in zip(groups, f_groups):
+            ndim = f.shape[1]
+            pads.append(jnp.concatenate(
+                [f, jnp.zeros((g.K, 3 - ndim, f.shape[-1]), f.dtype)],
+                axis=1) * ok)
+        warm_f = jnp.concatenate(pads, axis=0)
+    else:
+        warm_sel, warm_f = d.warm_sel, d.warm_f
+    warm_lim = (f_lim * ok) if lim is not None else d.warm_lim
+    return d.replace(qacc=qacc, qfrc_constraint=qfrc,
+                     warm_sel=warm_sel.astype(jnp.int32), warm_f=warm_f,
+                     warm_lim=warm_lim)
 
 
-def _scatter_slots(cfrc, sel, vals):
-    """Scatter (K, 3, B) per-selected-slot values into (ncon, 3, B)."""
-    K, _, B = vals.shape
-    bidx = jnp.broadcast_to(jnp.arange(B)[None, None, :], vals.shape)
-    cidx = jnp.broadcast_to(jnp.arange(3)[None, :, None], vals.shape)
-    sidx = jnp.broadcast_to(sel[:, None, :], vals.shape)
-    return cfrc.at[sidx, cidx, bidx].set(vals)
+def selected_force_mask(sel: jnp.ndarray, slots: np.ndarray) -> jnp.ndarray:
+    """(Ksum, B) 0/1 mask: selected slot id is in the static `slots` set."""
+    hit = sel[:, None, :] == jnp.asarray(slots, jnp.int32)[None, :, None]
+    return jnp.any(hit, axis=1)

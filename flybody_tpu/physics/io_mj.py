@@ -429,10 +429,21 @@ def make_data(model: Model, B: int = 1, dtype=None) -> Data:
         act_dot=z(model.na), qfrc_actuator=z(nv),
         qfrc_smooth=z(nv), qacc_smooth=z(nv),
         qfrc_constraint=z(nv), qacc=z(nv),
-        efc_force=z(model.nefc),
-        contact_force=z(ncon, 3),
+        warm_sel=jnp.zeros((_ksum(model), B), jnp.int32),
+        warm_f=z(_ksum(model), 3),
+        warm_lim=z(_nlimit(model)),
         sensordata=z(model.nsensordata),
     )
+
+
+def _ksum(model: Model) -> int:
+    from flybody_tpu.physics import constraint as C
+    return sum(k for _, k in C.efc_meta(model).groups)
+
+
+def _nlimit(model: Model) -> int:
+    from flybody_tpu.physics import constraint as C
+    return len(C.efc_meta(model).limit_ids)
 
 
 def unbatch(x):

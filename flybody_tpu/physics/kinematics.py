@@ -167,11 +167,10 @@ def com_pos(m: Model, d: Data) -> Data:
     """mj_comPos: subtree com, spatial inertias, com-frame dof axes."""
     dtype = d.qpos.dtype
     B = d.qpos.shape[-1]
-    acc = m.body_mass[:, None, None] * d.xipos
-    for level in reversed(m.body_tree):
-        lev = np.asarray(level)
-        pid = np.asarray(m.body_parentid)[lev]
-        acc = acc.at[pid].add(acc[lev])
+    from flybody_tpu.physics.sensors import _subtree_pairs
+    mom = m.body_mass[:, None, None] * d.xipos
+    anc, desc = _subtree_pairs(m)
+    acc = jnp.zeros_like(mom).at[anc].add(mom[desc])
     denom = jnp.maximum(m.body_subtreemass, 1e-12)[:, None, None]
     subtree_com = acc / denom
     d = d.replace(subtree_com=subtree_com)

@@ -22,45 +22,70 @@ from flybody_tpu.physics.types import Data, Model
 
 def _contact_body_forces(m: Model, d: Data) -> jnp.ndarray:
     """(nbody, 6, B) spatial contact forces (at com-root origin, world
-    frame) accumulated from solved contact-slot forces."""
+    frame) accumulated from the solver's compact selected forces — a small
+    (Ksum-sized) gather/one-hot pass, never an all-candidate-slot sweep."""
     dtype = d.qpos.dtype
     B = d.qpos.shape[-1]
     out = jnp.zeros((m.nbody, 6, B), dtype=dtype)
-    if m.ncon_max == 0:
+    if m.ncon_max == 0 or d.warm_sel.shape[0] == 0:
         return out
     from flybody_tpu.physics.actuation import _slot_bodies
-    b1, b2 = _slot_bodies(m)
+    b1s, b2s = _slot_bodies(m)
+    sel = d.warm_sel                                     # (Ksum, B)
+    frame = jnp.take_along_axis(d.contact.frame, sel[:, None, None, :],
+                                axis=0)                  # (Ksum, 3, 3, B)
+    pos = jnp.take_along_axis(d.contact.pos, sel[:, None, :], axis=0)
     # world-frame force on body2 (normal points g1 -> g2; positive normal
     # force pushes the bodies apart, i.e. acts along -normal on body2)
-    F = -jnp.einsum("cdkB,cdB->ckB", d.contact.frame, d.contact_force)
-    root = np.asarray(m.body_rootid)
-    r2 = d.contact.pos - d.subtree_com[root[b2]]
-    r1 = d.contact.pos - d.subtree_com[root[b1]]
-    out = out.at[b2, 3:].add(F).at[b2, :3].add(bq.cross(r2, F))
-    out = out.at[b1, 3:].add(-F).at[b1, :3].add(bq.cross(r1, -F))
-    return out
+    F = -jnp.einsum("cdkB,cdB->ckB", frame, d.warm_f)    # (Ksum, 3, B)
+    b1 = jnp.asarray(b1s, jnp.int32)[sel]                # (Ksum, B)
+    b2 = jnp.asarray(b2s, jnp.int32)[sel]
+    root = jnp.asarray(np.asarray(m.body_rootid), jnp.int32)
+    com2 = jnp.take_along_axis(d.subtree_com, root[b2][:, None, :], axis=0)
+    com1 = jnp.take_along_axis(d.subtree_com, root[b1][:, None, :], axis=0)
+    r2 = pos - com2
+    r1 = pos - com1
+    # one-hot accumulation over bodies (Ksum x nbody is tiny)
+    oh2 = (b2[:, None, :] == jnp.arange(m.nbody)[None, :, None]
+           ).astype(dtype)                               # (Ksum, nbody, B)
+    oh1 = (b1[:, None, :] == jnp.arange(m.nbody)[None, :, None]
+           ).astype(dtype)
+    lin = jnp.einsum("kbB,kdB->bdB", oh2, F) - jnp.einsum(
+        "kbB,kdB->bdB", oh1, F)
+    ang = (jnp.einsum("kbB,kdB->bdB", oh2, bq.cross(r2, F))
+           - jnp.einsum("kbB,kdB->bdB", oh1, bq.cross(r1, F)))
+    return out.at[:, 3:].add(lin).at[:, :3].add(ang)
+
+
+_SUBTREE_CACHE: dict = {}
+
+
+def _subtree_pairs(m: Model):
+    """Static (ancestor_body, descendant_body) pairs (incl. self)."""
+    key = id(m.body_parentid)
+    if key not in _SUBTREE_CACHE:
+        par = np.asarray(m.body_parentid)
+        anc_l, desc_l = [], []
+        for b in range(m.nbody):
+            cur = b
+            while True:
+                anc_l.append(cur)
+                desc_l.append(b)
+                if cur == 0:
+                    break
+                cur = par[cur]
+        _SUBTREE_CACHE[key] = (np.asarray(anc_l, np.int32),
+                               np.asarray(desc_l, np.int32))
+    return _SUBTREE_CACHE[key]
 
 
 def rne_postconstraint(m: Model, d: Data):
-    """cacc (nbody, 6, B) and cfrc_int (nbody, 6, B) given solved qacc."""
-    dtype = d.qpos.dtype
-    B = d.qpos.shape[-1]
-    grav = jnp.concatenate(
-        [jnp.zeros(3, dtype=dtype), -m.opt.gravity.astype(dtype)])
-    cacc = jnp.broadcast_to(grav[:, None], (m.nbody, 6, B))
+    """cacc (nbody, 6, B) and cfrc_int (nbody, 6, B) given solved qacc.
+
+    Tree sweeps flattened into static support/subtree pair scatter-adds
+    (no sequential level loops in the substep hot path)."""
     contrib = d.cdof_dot * d.qvel[:, None, :] + d.cdof * d.qacc[:, None, :]
-    for level in m.body_tree:
-        lev = np.asarray(level)
-        pid = np.asarray(m.body_parentid)[lev]
-        a = cacc[pid]
-        dofnum = np.asarray(m.body_dofnum)[lev]
-        dofadr = np.asarray(m.body_dofadr)[lev]
-        for slot in range(int(dofnum.max()) if len(dofnum) else 0):
-            has = dofnum > slot
-            didx = np.where(has, dofadr + slot, 0)
-            a = a + jnp.where(jnp.asarray(has)[:, None, None],
-                              contrib[didx], 0.0)
-        cacc = cacc.at[lev].set(a)
+    cacc = S.body_cacc(m, d, contrib)
 
     cfrc_ext = _contact_body_forces(m, d)
     root = np.asarray(m.body_rootid)
@@ -71,12 +96,10 @@ def rne_postconstraint(m: Model, d: Data):
     cfrc_ext = cfrc_ext.at[:, 3:].add(force)
 
     Iv = jnp.einsum("bijB,bjB->biB", d.cinert, d.cvel)
-    cfrc_int = (jnp.einsum("bijB,bjB->biB", d.cinert, cacc)
-                + S.force_cross(d.cvel, Iv) - cfrc_ext)
-    for level in reversed(m.body_tree):
-        lev = np.asarray(level)
-        pid = np.asarray(m.body_parentid)[lev]
-        cfrc_int = cfrc_int.at[pid].add(cfrc_int[lev])
+    leaf = (jnp.einsum("bijB,bjB->biB", d.cinert, cacc)
+            + S.force_cross(d.cvel, Iv) - cfrc_ext)
+    anc, desc = _subtree_pairs(m)
+    cfrc_int = jnp.zeros_like(leaf).at[anc].add(leaf[desc])
     return cacc, cfrc_int
 
 
@@ -132,14 +155,13 @@ def sensor(m: Model, d: Data) -> Data:
             val = jnp.zeros((B,), dtype)
             if m.ncon_max:
                 from flybody_tpu.physics.actuation import _slot_bodies
+                from flybody_tpu.physics.constraint import \
+                    selected_force_mask
                 b1s, b2s = _slot_bodies(m)
                 on = np.nonzero((b1s == b) | (b2s == b))[0]
                 if len(on):
-                    active = (d.contact.dist[on]
-                              < m.con_includemargin[on, None].astype(dtype))
-                    val = jnp.sum(jnp.where(active,
-                                            d.contact_force[on, 0], 0.0),
-                                  axis=0)
+                    mask = selected_force_mask(d.warm_sel, on).astype(dtype)
+                    val = jnp.sum(d.warm_f[:, 0] * mask, axis=0)
             out = out.at[a].set(jnp.maximum(val, 0.0))
         elif st == T.SENS_JOINTPOS:
             out = out.at[a].set(d.qpos[np.asarray(m.jnt_qposadr)[oid]])
@@ -167,11 +189,8 @@ def sensor(m: Model, d: Data) -> Data:
             off = d.xipos - d.subtree_com[root]
             vcom = d.cvel[:, 3:] + bq.cross(d.cvel[:, :3], off)
             mom = m.body_mass[:, None, None] * vcom
-            acc = mom
-            for level in reversed(m.body_tree):
-                lev = np.asarray(level)
-                pid = np.asarray(m.body_parentid)[lev]
-                acc = acc.at[pid].add(acc[lev])
+            anc, desc = _subtree_pairs(m)
+            acc = jnp.zeros_like(mom).at[anc].add(mom[desc])
             out = out.at[a:a + 3].set(
                 acc[oid] / jnp.maximum(m.body_subtreemass[oid], 1e-12))
         elif st == T.SENS_TENDONPOS:

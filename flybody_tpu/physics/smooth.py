@@ -44,66 +44,91 @@ def force_cross(v, f):
     return jnp.concatenate([ang, lin], axis=-2)
 
 
-def com_vel(m: Model, d: Data) -> Data:
-    """mj_comVel: body spatial velocities and cdof time derivatives."""
-    dtype = d.qpos.dtype
-    B = d.qpos.shape[-1]
-    cvel = jnp.zeros((m.nbody, 6, B), dtype=dtype)
-    cdof_dot = jnp.zeros((m.nv, 6, B), dtype=dtype)
+_VELPRE_CACHE: dict = {}
 
+
+def _dof_velpre_pairs(m: Model):
+    """Static (i, j) dof pairs: dof j's velocity contribution is part of
+    the partial body velocity seen by dof i when forming cdof_dot[i].
+
+    Replicates the sequential mj_comVel semantics (oracle-validated in the
+    round-1 engine): j ranges over dofs of strict body ancestors, dofs of
+    earlier joints on the same body, and — for the rotational dofs of a
+    free joint — the translational dofs of that same joint."""
+    key = id(m.dof_bodyid)
+    if key in _VELPRE_CACHE:
+        return _VELPRE_CACHE[key]
     jnt_type = np.asarray(m.jnt_type)
     jnt_dofadr = np.asarray(m.jnt_dofadr)
+    body_parent = np.asarray(m.body_parentid)
+    body_jntadr = np.asarray(m.body_jntadr)
+    body_jntnum = np.asarray(m.body_jntnum)
 
-    for level in m.body_tree:
-        lev = np.asarray(level)
-        pid = np.asarray(m.body_parentid)[lev]
-        v = cvel[pid]  # (L, 6, B)
-        jntnum = np.asarray(m.body_jntnum)[lev]
-        jntadr = np.asarray(m.body_jntadr)[lev]
-        for slot in range(int(jntnum.max()) if len(jntnum) else 0):
-            has = jntnum > slot
-            jid = np.where(has, jntadr + slot, 0)
-            jt = np.where(has, jnt_type[jid], -1)
-            dadr = jnt_dofadr[jid]
+    def joint_dofs(j):
+        n = {T.FREE: 6, T.BALL: 3, T.SLIDE: 1, T.HINGE: 1}[int(jnt_type[j])]
+        return list(range(jnt_dofadr[j], jnt_dofadr[j] + n))
 
-            if (jt == T.FREE).any():
-                fm = jnp.asarray(jt == T.FREE)[:, None, None]
-                contrib = sum(d.cdof[dadr + k] * d.qvel[dadr + k][:, None, :]
-                              for k in range(3))
-                v = jnp.where(fm, v + contrib, v)
-                rot = jnp.zeros_like(v)
-                for k in range(3, 6):
-                    cd = motion_cross(v, d.cdof[dadr + k])
-                    cdof_dot = cdof_dot.at[dadr + k].set(
-                        jnp.where(fm, cd, cdof_dot[dadr + k]))
-                    rot = rot + d.cdof[dadr + k] * d.qvel[dadr + k][:, None, :]
-                v = jnp.where(fm, v + rot, v)
+    body_own = {b: [joint_dofs(j)
+                    for j in range(body_jntadr[b],
+                                   body_jntadr[b] + body_jntnum[b])]
+                for b in range(m.nbody)}
 
-            for typ, ndof in ((T.BALL, 3), (T.SLIDE, 1), (T.HINGE, 1)):
-                if not (jt == typ).any():
-                    continue
-                tm = jnp.asarray(jt == typ)[:, None, None]
-                contrib = jnp.zeros_like(v)
-                for k in range(ndof):
-                    cd = motion_cross(v, d.cdof[dadr + k])
-                    cdof_dot = cdof_dot.at[dadr + k].set(
-                        jnp.where(tm, cd, cdof_dot[dadr + k]))
-                    contrib = contrib + (d.cdof[dadr + k]
-                                         * d.qvel[dadr + k][:, None, :])
-                v = jnp.where(tm, v + contrib, v)
+    ii, jj = [], []
+    for b in range(1, m.nbody):
+        # strict ancestors' dofs
+        anc_dofs = []
+        cur = body_parent[b]
+        while cur != 0:
+            anc_dofs = sum(body_own[cur], []) + anc_dofs
+            cur = body_parent[cur]
+        seen = list(anc_dofs)
+        for j in range(body_jntadr[b], body_jntadr[b] + body_jntnum[b]):
+            dofs = joint_dofs(j)
+            if int(jnt_type[j]) == T.FREE:
+                trans, rot = dofs[:3], dofs[3:]
+                for i in rot:
+                    for jd in seen + trans:
+                        ii.append(i); jj.append(jd)
+                # translational cdof_dot stays zero
+            else:
+                for i in dofs:
+                    for jd in seen:
+                        ii.append(i); jj.append(jd)
+            seen = seen + dofs
+    pairs = (np.asarray(ii, np.int32), np.asarray(jj, np.int32))
+    _VELPRE_CACHE[key] = pairs
+    return pairs
 
-        cvel = cvel.at[lev].set(v)
 
+def com_vel(m: Model, d: Data) -> Data:
+    """mj_comVel: body spatial velocities and cdof time derivatives.
+
+    Fully parallel: cvel via static (body, dof) support pairs; cdof_dot
+    via the static partial-velocity pair set (no sequential tree sweep)."""
+    from flybody_tpu.physics.passive import _support_pairs
+    dtype = d.qpos.dtype
+    B = d.qpos.shape[-1]
+    dof_vel = d.cdof * d.qvel[:, None, :]            # (nv, 6, B)
+
+    bp, vp = _support_pairs(m)
+    cvel = jnp.zeros((m.nbody, 6, B), dtype=dtype).at[bp].add(dof_vel[vp])
+
+    ii, jj = _dof_velpre_pairs(m)
+    vpre = jnp.zeros((m.nv, 6, B), dtype=dtype).at[ii].add(dof_vel[jj])
+    cdof_dot = motion_cross(vpre, d.cdof)
+    # translational free-joint dofs have no vpre pairs and zero cross with
+    # themselves is not guaranteed — mask dofs with no contributing pairs
+    has_pre = np.zeros(m.nv, dtype=bool)
+    has_pre[np.unique(ii)] = True
+    cdof_dot = jnp.where(jnp.asarray(has_pre)[:, None, None], cdof_dot, 0.0)
     return d.replace(cvel=cvel, cdof_dot=cdof_dot)
 
 
 def crb(m: Model, d: Data) -> Data:
     """mj_crb + mj_factorM: compressed tree-sparse inertia + LDL^T."""
-    crb_inert = d.cinert                        # (nbody, 6, 6, B)
-    for level in reversed(m.body_tree):
-        lev = np.asarray(level)
-        pid = np.asarray(m.body_parentid)[lev]
-        crb_inert = crb_inert.at[pid].add(crb_inert[lev])
+    from flybody_tpu.physics.sensors import _subtree_pairs
+    anc, desc = _subtree_pairs(m)
+    crb_inert = jnp.zeros_like(d.cinert).at[anc].add(d.cinert[desc])
 
     body_of_dof = np.asarray(m.dof_bodyid)
     crb_dof = crb_inert[body_of_dof]            # (nv, 6, 6, B)
@@ -130,38 +155,38 @@ def mul_m(m: Model, d: Data, v: jnp.ndarray) -> jnp.ndarray:
     return TL.matmul(m.tree, d.qM, v)
 
 
-def rne(m: Model, d: Data) -> Data:
-    """mj_rne (flg_acc=0): qfrc_bias = C(qpos, qvel)."""
+def body_cacc(m: Model, d: Data, dof_contrib: jnp.ndarray) -> jnp.ndarray:
+    """(nbody, 6, B) body accelerations: gravity + sum of per-dof
+    contributions over each body's supporting dofs — one static
+    scatter-add over the ~500 (body, dof) support pairs instead of a
+    sequential tree sweep."""
+    from flybody_tpu.physics.passive import _support_pairs
     dtype = d.qpos.dtype
     B = d.qpos.shape[-1]
     grav = jnp.concatenate(
         [jnp.zeros(3, dtype=dtype), -m.opt.gravity.astype(dtype)])
-    cacc = jnp.broadcast_to(grav[:, None], (m.nbody, 6, B))
+    bp, vp = _support_pairs(m)
+    cacc = jnp.broadcast_to(grav[:, None], (m.nbody, 6, B)).astype(dtype)
+    return cacc.at[bp].add(dof_contrib[vp])
 
+
+def rne(m: Model, d: Data) -> Data:
+    """mj_rne (flg_acc=0): qfrc_bias = C(qpos, qvel).
+
+    Both tree sweeps are flattened into static support-pair gathers:
+    cacc via ``body_cacc``; the backward force accumulation disappears into
+    qfrc_bias[v] = sum over supported bodies of cdof[v] . cfrc_leaf[b]."""
+    from flybody_tpu.physics.passive import _support_pairs
     dof_contrib = d.cdof_dot * d.qvel[:, None, :]   # (nv, 6, B)
-    for level in m.body_tree:
-        lev = np.asarray(level)
-        pid = np.asarray(m.body_parentid)[lev]
-        a = cacc[pid]
-        dofnum = np.asarray(m.body_dofnum)[lev]
-        dofadr = np.asarray(m.body_dofadr)[lev]
-        for slot in range(int(dofnum.max()) if len(dofnum) else 0):
-            has = dofnum > slot
-            didx = np.where(has, dofadr + slot, 0)
-            a = a + jnp.where(jnp.asarray(has)[:, None, None],
-                              dof_contrib[didx], 0.0)
-        cacc = cacc.at[lev].set(a)
+    cacc = body_cacc(m, d, dof_contrib)
 
     Iv = jnp.einsum("bijB,bjB->biB", d.cinert, d.cvel)
     cfrc = (jnp.einsum("bijB,bjB->biB", d.cinert, cacc)
             + force_cross(d.cvel, Iv))
 
-    for level in reversed(m.body_tree):
-        lev = np.asarray(level)
-        pid = np.asarray(m.body_parentid)[lev]
-        cfrc = cfrc.at[pid].add(cfrc[lev])
-
-    qfrc_bias = jnp.sum(d.cdof * cfrc[np.asarray(m.dof_bodyid)], axis=-2)
+    bp, vp = _support_pairs(m)
+    dots = jnp.sum(d.cdof[vp] * cfrc[bp], axis=-2)  # (npairs, B)
+    qfrc_bias = jnp.zeros_like(d.qvel).at[vp].add(dots)
     return d.replace(qfrc_bias=qfrc_bias)
 
 

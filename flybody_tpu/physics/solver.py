@@ -143,7 +143,7 @@ def solve_dual(m: Model, d: Data, lim, groups, iterations: int = 24,
     v_groups = [jnp.ones_like(bg) for bg in b_groups]
     v_lim, v_groups = act_mask(v_lim, v_groups)
     L = jnp.ones((B,), dtype)
-    for _ in range(5):
+    for _ in range(3):
         nrm = jnp.sqrt(_tree_dot(flat(v_lim, v_groups),
                                  flat(v_lim, v_groups))) + 1e-30
         v_lim = v_lim / nrm if lim is not None else None
@@ -160,14 +160,17 @@ def solve_dual(m: Model, d: Data, lim, groups, iterations: int = 24,
     L = jnp.maximum(1.1 * L, 1.0)
     inv_L = 1.0 / L
 
-    # ---- warm start from previous-step slot forces -------------------
-    f_lim0 = jnp.zeros_like(b_lim) if lim is not None else None
+    # ---- warm start from previous-step selected forces ----------------
+    # match this step's selected slots against last step's selection (a
+    # (K, Ksum_prev) membership contraction — no dense per-slot scatter
+    # or gather anywhere in the step)
+    f_lim0 = d.warm_lim.astype(dtype) if lim is not None else None
     f_groups0 = []
     for g, bg in zip(groups, b_groups):
         ndim = bg.shape[1]
-        prev = jnp.take_along_axis(d.contact_force, g.sel[:, None, :],
-                                   axis=0)[:, :ndim]    # (K, ndim, B)
-        f_groups0.append(prev.astype(dtype))
+        hit = (g.sel[:, None, :] == d.warm_sel[None, :, :]).astype(dtype)
+        prev = jnp.einsum("kjB,jdB->kdB", hit, d.warm_f)[:, :ndim]
+        f_groups0.append(prev)
     f_lim0, f_groups0 = proj(f_lim0, f_groups0)
 
     # ---- APGD with per-env adaptive restart --------------------------

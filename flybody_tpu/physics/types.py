@@ -341,8 +341,14 @@ class Data:
     qacc_smooth: jax.Array
     qfrc_constraint: jax.Array
     qacc: jax.Array
-    efc_force: jax.Array      # (nefc, B) selected rows, rest zero
-    contact_force: jax.Array  # (ncon_max, 3, B): (normal, t1, t2) per slot
+    # Solved constraint forces in COMPACT selected form: the solver's
+    # active islands (sum of per-condim K slots) + limit rows. A dense
+    # (ncon_max, 3, B) per-slot force array would cost a large dynamic
+    # scatter every substep; consumers (touch sensors, self-contact obs,
+    # warm starting) use membership masks against warm_sel instead.
+    warm_sel: jax.Array       # (Ksum, B) int32 selected candidate slot ids
+    warm_f: jax.Array         # (Ksum, 3, B) contact force (n, t1, t2)
+    warm_lim: jax.Array       # (nlimit, B) limit-row forces
 
     # sensors
     sensordata: jax.Array     # (nsensordata, B)
@@ -351,4 +357,4 @@ class Data:
 # Fields that constitute the true dynamical state (everything else is
 # recomputed by forward()); used by env auto-reset to swap only state.
 STATE_FIELDS = ("qpos", "qvel", "act", "ctrl", "qfrc_applied",
-                "xfrc_applied", "time", "contact_force")
+                "xfrc_applied", "time", "warm_sel", "warm_f", "warm_lim")

@@ -110,7 +110,10 @@ def make_walk_on_ball(claw_friction: float = 1.0, time_limit: float = 2.0,
     amap = ff.action_indices(morph, cfg)
 
     from flybody_tpu.physics import io_mj
-    model = io_mj.put_model(mj_model, dtype=dtype)
+    # tight active islands: the ball scene has <=16 simultaneous
+    # claw/tarsus-ball contacts; condim-1 self-contact pairs are rare
+    model = io_mj.put_model(mj_model, dtype=dtype,
+                            con_sel={1: 8, 3: 16})
     walker = FlyWalker(model, amap)
     task = WalkOnBall(walker, time_limit=time_limit)
     return FlyEnv(model, task, mj_model=mj_model, dtype=dtype)

@@ -98,14 +98,14 @@ def rollout_and_render(env, policy_fn, rng, n_steps=100, camera="track",
     """
     import jax
 
-    state = jax.jit(env.reset)(rng)
+    state = jax.jit(env.reset)(rng[None] if rng.ndim == 1 else rng)
     step = jax.jit(env.autoreset_step)
     frames = []
     thorax = env.task.walker.thorax_id
     for _ in range(n_steps):
         action = policy_fn(state.obs)
         state = step(state, action)
-        target = np.asarray(state.data.xpos[thorax])
+        target = np.asarray(state.data.xpos[thorax, :, 0])
         cam_pos = target + np.array([0.6, 0.6, 0.35])
         fwd = target - cam_pos
         fwd = fwd / np.linalg.norm(fwd)

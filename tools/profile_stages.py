@@ -45,14 +45,14 @@ def main():
     env = walk_on_ball()
     m = env.model
     rng = jax.random.PRNGKey(0)
-    reset = jax.jit(jax.vmap(env.reset))
+    reset = jax.jit(env.reset)
     states = reset(jax.random.split(rng, B))
     d = states.data
     fetch(d.qpos)
     print(f"B={B}", flush=True)
 
     def vj(fn):
-        return jax.jit(jax.vmap(functools.partial(fn, m)))
+        return jax.jit(functools.partial(fn, m))
 
     d = timeit("kinematics", vj(K.kinematics), d)
     d = timeit("com_pos", vj(K.com_pos), d)
