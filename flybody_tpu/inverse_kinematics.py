@@ -47,8 +47,12 @@ def qpos_from_site_xpos(model: Model, data: Data,
     """
     site_ids = np.asarray(site_ids)
     dof_qposadr = np.asarray(dof_qposadr)
+    # accept unbatched (S, 3) targets against batched engine data
+    if target_xpos.ndim == 2:
+        target_xpos = target_xpos[..., None]
     mask = (jnp.ones_like(target_xpos) if include_mask is None
-            else include_mask.astype(target_xpos.dtype))
+            else include_mask.astype(target_xpos.dtype).reshape(
+                target_xpos.shape))
     q0 = data.qpos[dof_qposadr]
 
     def objective(q):

@@ -465,3 +465,14 @@ def qm_dense(model: Model, d: Data) -> jnp.ndarray:
     from flybody_tpu.ops import tree_ldl as TL
 
     return TL.sparse_to_dense(model.tree, d.qM)
+
+
+def set_state(d: Data, **kw) -> Data:
+    """Test/host helper: set per-env state columns on a B=1 batched Data.
+
+    Accepts unbatched (mjData-shaped) arrays and adds the trailing batch
+    axis. Example: ``set_state(d, qpos=mjd.qpos, qvel=mjd.qvel)``.
+    """
+    upd = {k: jnp.asarray(np.asarray(v), d.qpos.dtype)[..., None]
+           for k, v in kw.items()}
+    return d.replace(**upd)

@@ -36,18 +36,15 @@ def test_adhesion_matches_mujoco():
     mujoco.mj_forward(mj_model, mjd)
 
     d = io_mj.make_data(model, dtype=jnp.float64)
-    d = d.replace(qpos=jnp.asarray(mjd.qpos), ctrl=jnp.asarray(mjd.ctrl))
+    d = io_mj.set_state(d, qpos=mjd.qpos, ctrl=mjd.ctrl)
     d = F.forward(model, d)
 
-    # mujoco 3.x stores actuator_moment sparse; densify for comparison
-    dense = np.zeros((mj_model.nu, mj_model.nv))
-    mujoco.mju_sparse2dense(dense, mjd.actuator_moment.reshape(-1),
-                            mjd.moment_rownnz, mjd.moment_rowadr,
-                            mjd.moment_colind.reshape(-1))
-    np.testing.assert_allclose(d.actuator_moment, dense, atol=1e-9)
-    np.testing.assert_allclose(d.actuator_force, mjd.actuator_force,
+    # the adhesion moment is applied implicitly (actuation.adhesion_qfrc);
+    # qfrc_actuator covers moment x force exactly
+    du = io_mj.unbatch(d)
+    np.testing.assert_allclose(du.actuator_force, mjd.actuator_force,
                                atol=1e-9)
-    np.testing.assert_allclose(d.qfrc_actuator, mjd.qfrc_actuator,
+    np.testing.assert_allclose(du.qfrc_actuator, mjd.qfrc_actuator,
                                atol=1e-9)
     # adhesion pulls the sphere DOWN toward the floor
-    assert float(d.qfrc_actuator[2]) < -1e-3
+    assert float(du.qfrc_actuator[2]) < -1e-3

@@ -61,7 +61,7 @@ def _dist_for(model, d, g1, g2):
     cg1, cg2 = _slot_geoms(model)
     for k in range(model.ncon_max):
         if {int(cg1[k]), int(cg2[k])} == {g1, g2}:
-            return float(d.contact.dist[k])
+            return float(d.contact.dist[k, 0])
     raise AssertionError(
         f"pair not found: {list(zip(cg1.tolist(), cg2.tolist()))}")
 
@@ -73,7 +73,7 @@ def test_capsule_ellipsoid_distance_sign(setup, cap_z, expect_sign):
     mjd.qpos[9] = cap_z          # capsule z (second freejoint)
     mujoco.mj_forward(mj_model, mjd)
     d = io_mj.make_data(model, dtype=jnp.float64)
-    d = d.replace(qpos=jnp.asarray(mjd.qpos))
+    d = io_mj.set_state(d, qpos=mjd.qpos)
     d = F.fwd_position(model, d)
     # geom ids by definition order: 0 ell, 1 cap, 2 sph
     dist = _dist_for(model, d, 1, 0)

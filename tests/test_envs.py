@@ -23,28 +23,29 @@ def test_specs(env):
 
 
 def test_reset_deterministic(env):
-    s1 = env.reset(jax.random.PRNGKey(7))
-    s2 = env.reset(jax.random.PRNGKey(7))
+    s1 = env.reset(jax.random.split(jax.random.PRNGKey(7), 2))
+    s2 = env.reset(jax.random.split(jax.random.PRNGKey(7), 2))
     for a, b in zip(jax.tree.leaves(s1), jax.tree.leaves(s2)):
         np.testing.assert_array_equal(a, b)
 
 
 def test_step_and_autoreset(env):
     step = jax.jit(env.autoreset_step)
-    state = env.reset(jax.random.PRNGKey(0))
-    a = jnp.zeros(env.action_size)
+    state = env.reset(jax.random.PRNGKey(0)[None].repeat(1, 0)
+                      if False else jax.random.split(jax.random.PRNGKey(0), 1))
+    a = jnp.zeros((1, env.action_size))
     for t in range(12):
         state = step(state, a)
         assert bool(jnp.all(jnp.isfinite(state.data.qpos)))
     # time limit is 10 control steps: an auto-reset must have happened
-    assert int(state.step_idx) < 12
-    assert float(state.discount) in (0.0, 1.0)
+    assert int(state.step_idx[0]) < 12
+    assert float(state.discount[0]) in (0.0, 1.0)
 
 
 def test_batched_step(env):
     n = 4
-    states = jax.vmap(env.reset)(jax.random.split(jax.random.PRNGKey(0), n))
-    step = jax.jit(jax.vmap(env.autoreset_step))
+    states = env.reset(jax.random.split(jax.random.PRNGKey(0), n))
+    step = jax.jit(env.autoreset_step)
     actions = jnp.zeros((n, env.action_size))
     states = step(states, actions)
     assert states.reward.shape == (n,)
@@ -53,6 +54,6 @@ def test_batched_step(env):
 
 
 def test_obs_reasonable_at_rest(env):
-    state = env.reset(jax.random.PRNGKey(0))
+    state = env.reset(jax.random.split(jax.random.PRNGKey(0), 1))
     # world_zaxis of an upright fly ~ +z
-    assert float(state.obs["world_zaxis"][2]) > 0.9
+    assert float(state.obs["world_zaxis"][0, 2]) > 0.9

@@ -29,10 +29,10 @@ def _passive(mj_model, model, qvel):
     mjd.qvel[:] = qvel
     mujoco.mj_forward(mj_model, mjd)
     d = io_mj.make_data(model, dtype=jnp.float64)
-    d = d.replace(qvel=jnp.asarray(qvel, jnp.float64))
+    d = io_mj.set_state(d, qvel=qvel)
     d = F.fwd_position(model, d)
     d = F.fwd_velocity(model, d)
-    return np.asarray(d.qfrc_passive), mjd.qfrc_passive.copy()
+    return np.asarray(d.qfrc_passive)[..., 0], mjd.qfrc_passive.copy()
 
 
 @pytest.mark.parametrize("coef,qvel", [

@@ -69,14 +69,15 @@ def test_fly_forward_matches_mujoco(fly_on_ball):
     mujoco.mj_forward(mj_model, mjd)
 
     d = io_mj.make_data(model, dtype=jnp.float64)
-    d = d.replace(qpos=jnp.asarray(mjd.qpos), qvel=jnp.asarray(mjd.qvel),
-                  ctrl=jnp.asarray(mjd.ctrl), act=jnp.asarray(mjd.act))
+    d = io_mj.set_state(d, qpos=mjd.qpos, qvel=mjd.qvel,
+                  ctrl=mjd.ctrl, act=mjd.act)
     from flybody_tpu.physics import constraint as Cn
     d = F.fwd_position(model, d)
     d = F.fwd_velocity(model, d)
     d = F.fwd_actuation(model, d)
     d = F.fwd_acceleration(model, d)
-    d = Cn.solve(model, d, iterations=20)
+    d = Cn.solve(model, d, iterations=40)
+    d = io_mj.unbatch(d)
 
     np.testing.assert_allclose(d.qfrc_bias, mjd.qfrc_bias, atol=1e-8)
     # wing ellipsoid-fluid terms are approximate (TODO round 2: exact
@@ -102,16 +103,17 @@ def test_fly_trajectory_tracks_mujoco(fly_on_ball):
     mjd.ctrl[:] = ctrl
 
     d = io_mj.make_data(model, dtype=jnp.float64)
-    d = d.replace(ctrl=jnp.asarray(ctrl))
+    d = io_mj.set_state(d, ctrl=ctrl)
     step = jax.jit(F.step)
     for _ in range(100):
         mujoco.mj_step(mj_model, mjd)
         d = step(model, d)
 
     assert bool(jnp.all(jnp.isfinite(d.qpos)))
-    err = np.max(np.abs(np.asarray(d.qpos) - mjd.qpos))
+    du = io_mj.unbatch(d)
+    err = np.max(np.abs(np.asarray(du.qpos) - mjd.qpos))
     # 10 ms of full-contact dynamics with ~50 active contacts; the
     # 6-iteration production solver tracks MuJoCo to ~0.1 rad worst-joint
     assert err < 0.15, f"max qpos drift {err}"
     # act (filter states) integrate identically
-    np.testing.assert_allclose(d.act, mjd.act, atol=1e-8)
+    np.testing.assert_allclose(du.act, mjd.act, atol=1e-8)

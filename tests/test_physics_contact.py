@@ -56,8 +56,9 @@ def test_forward_contact_forces(setup):
     mujoco.mj_forward(mj_model, mjd)
 
     d = io_mj.make_data(model, dtype=jnp.float64)
-    d = d.replace(qpos=jnp.asarray(mjd.qpos), qvel=jnp.asarray(mjd.qvel))
+    d = io_mj.set_state(d, qpos=mjd.qpos, qvel=mjd.qvel)
     d = jax.jit(F.forward)(model, d)
+    d = io_mj.unbatch(d)
 
     err = np.abs(np.asarray(d.qacc) - mjd.qacc)
     scale = np.maximum(np.abs(mjd.qacc), 1.0)
@@ -80,7 +81,7 @@ def test_drop_and_settle_matches_mujoco(setup):
         d = step(model, d)
 
     # resting heights match to sub-mm
-    ours = np.asarray(d.qpos)
+    ours = np.asarray(d.qpos)[..., 0]
     theirs = mjd.qpos
     # compare heights of the three free bodies
     for z_idx in (2, 9, 16):
@@ -102,9 +103,9 @@ def test_joint_limit_matches_mujoco(setup):
     mujoco.mj_forward(mj_model, mjd)
 
     d = io_mj.make_data(model, dtype=jnp.float64)
-    d = d.replace(qpos=jnp.asarray(mjd.qpos), qvel=jnp.asarray(mjd.qvel))
+    d = io_mj.set_state(d, qpos=mjd.qpos, qvel=mjd.qvel)
     d = F.forward(model, d)
     dof = mj_model.jnt_dofadr[mj_model.joint("hinge").id]
-    ours = float(d.qacc[dof])
+    ours = float(d.qacc[dof, 0])
     theirs = float(mjd.qacc[dof])
     assert abs(ours - theirs) / max(abs(theirs), 1.0) < 5e-3, (ours, theirs)

@@ -78,8 +78,9 @@ def test_kinematics_matches_mujoco(setup, seed):
     mujoco.mj_forward(mj_model, mjd)
 
     d = io_mj.make_data(model, dtype=jnp.float64)
-    d = d.replace(qpos=jnp.asarray(mjd.qpos), qvel=jnp.asarray(mjd.qvel))
+    d = io_mj.set_state(d, qpos=mjd.qpos, qvel=mjd.qvel)
     d = jax.jit(K.kinematics, static_argnums=())(model, d)
+    d = io_mj.unbatch(d)
 
     np.testing.assert_allclose(d.xpos, mjd.xpos, atol=1e-8)
     # quaternion sign is arbitrary: compare via abs dot
@@ -105,9 +106,10 @@ def test_com_pos_matches_mujoco(setup, seed):
     mujoco.mj_forward(mj_model, mjd)
 
     d = io_mj.make_data(model, dtype=jnp.float64)
-    d = d.replace(qpos=jnp.asarray(mjd.qpos), qvel=jnp.asarray(mjd.qvel))
+    d = io_mj.set_state(d, qpos=mjd.qpos, qvel=mjd.qvel)
     d = K.kinematics(model, d)
     d = K.com_pos(model, d)
+    d = io_mj.unbatch(d)
 
     np.testing.assert_allclose(d.subtree_com, mjd.subtree_com, atol=1e-8)
     np.testing.assert_allclose(d.cdof, mjd.cdof, atol=1e-8)
@@ -133,19 +135,22 @@ def test_tendon_matches_mujoco(setup):
     mjd = _random_state(mj_model, 5)
     mujoco.mj_forward(mj_model, mjd)
     d = io_mj.make_data(model, dtype=jnp.float64)
-    d = d.replace(qpos=jnp.asarray(mjd.qpos), qvel=jnp.asarray(mjd.qvel))
+    d = io_mj.set_state(d, qpos=mjd.qpos, qvel=mjd.qvel)
     d = K.kinematics(model, d)
     d = K.tendon(model, d)
-    np.testing.assert_allclose(d.ten_length, mjd.ten_length, atol=1e-12)
-    # mujoco 3.x compresses ten_J to nonzero values in wrap order;
-    # compare our dense moment gathered at the wrap joints' dofs
-    ours = np.asarray(d.ten_moment)
+    du = io_mj.unbatch(d)
+    np.testing.assert_allclose(du.ten_length, mjd.ten_length, atol=1e-12)
+    # the engine keeps the fixed-tendon moment implicit (static scatter
+    # map, kinematics.ten_moment_apply); reconstruct the dense moment by
+    # applying it to unit tendon forces and compare against mujoco ten_J
     vals = np.asarray(mjd.ten_J).reshape(mj_model.ntendon, -1)
     for t in range(mj_model.ntendon):
+        unit = jnp.zeros((mj_model.ntendon, 1), jnp.float64).at[t, 0].set(1.0)
+        row = np.asarray(K.ten_moment_apply(model, d, unit))[:, 0]
         adr, num = mj_model.tendon_adr[t], mj_model.tendon_num[t]
         jids = mj_model.wrap_objid[adr:adr + num]
         dofs = mj_model.jnt_dofadr[jids]
-        np.testing.assert_allclose(ours[t, dofs], vals[t, :num], atol=1e-12)
+        np.testing.assert_allclose(row[dofs], vals[t, :num], atol=1e-12)
         mask = np.ones(mj_model.nv, bool)
         mask[dofs] = False
-        np.testing.assert_allclose(ours[t, mask], 0.0, atol=1e-12)
+        np.testing.assert_allclose(row[mask], 0.0, atol=1e-12)

@@ -77,8 +77,8 @@ def _rand(mj_model, seed, ctrl_scale=0.5):
 
 def _put_state(model, mjd):
     d = io_mj.make_data(model, dtype=jnp.float64)
-    return d.replace(qpos=jnp.asarray(mjd.qpos), qvel=jnp.asarray(mjd.qvel),
-                     ctrl=jnp.asarray(mjd.ctrl), act=jnp.asarray(mjd.act))
+    return io_mj.set_state(d, qpos=mjd.qpos, qvel=mjd.qvel,
+                           ctrl=mjd.ctrl, act=mjd.act)
 
 
 @pytest.mark.parametrize("seed", [0, 1])
@@ -93,10 +93,12 @@ def test_smooth_pipeline_matches_mujoco(setup, seed):
     d = F.fwd_actuation(model, d)
     d = F.fwd_acceleration(model, d)
 
-    # mass matrix
+    # mass matrix (compressed tree-sparse; densify for comparison)
     Mfull = np.zeros((mj_model.nv, mj_model.nv))
     mujoco.mj_fullM(mj_model, mjd, Mfull)
-    np.testing.assert_allclose(d.qM, Mfull, atol=1e-8)
+    qM = np.asarray(io_mj.qm_dense(model, d))[..., 0]
+    np.testing.assert_allclose(qM, Mfull, atol=1e-8)
+    d = io_mj.unbatch(d)
 
     # velocity products
     np.testing.assert_allclose(d.cvel, mjd.cvel, atol=1e-8)
@@ -134,11 +136,12 @@ def test_rollout_matches_mujoco(setup):
         ctrl = 0.3 * np.sin(0.01 * t * np.arange(mj_model.nu)) \
             + 0.05 * rng.randn(mj_model.nu)
         mjd.ctrl[:] = ctrl
-        d = d.replace(ctrl=jnp.asarray(ctrl))
+        d = io_mj.set_state(d, ctrl=ctrl)
         mujoco.mj_step(mj_model, mjd)
         d = step(model, d)
 
-    np.testing.assert_allclose(d.qpos, mjd.qpos, atol=1e-5)
-    np.testing.assert_allclose(d.qvel, mjd.qvel, atol=1e-4)
+    du = io_mj.unbatch(d)
+    np.testing.assert_allclose(du.qpos, mjd.qpos, atol=1e-5)
+    np.testing.assert_allclose(du.qvel, mjd.qvel, atol=1e-4)
     if mj_model.na:
-        np.testing.assert_allclose(d.act, mjd.act, atol=1e-6)
+        np.testing.assert_allclose(du.act, mjd.act, atol=1e-6)

@@ -98,7 +98,7 @@ def test_ik_converges_on_toy_arm():
                               dof_qposadr=np.array([0, 1]),
                               lr=0.01, beta=0.9, max_steps=3000)
     d = K.kinematics(model, data.replace(qpos=res.qpos))
-    err = float(jnp.linalg.norm(d.site_xpos[0] - target[0]))
+    err = float(jnp.linalg.norm(d.site_xpos[0, :, 0] - target[0]))
     assert err < 1e-3, err
 
 

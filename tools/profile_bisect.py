@@ -48,6 +48,46 @@ def main():
     timeit("fwd_smooth (qacc_smooth out)",
            jax.jit(lambda d: fwd_smooth(d).qacc_smooth), d0)
 
+    from flybody_tpu.physics import actuation as A
+    from flybody_tpu.physics import collision as col
+    from flybody_tpu.physics import kinematics as K
+    from flybody_tpu.physics import passive as P
+
+    # inner bisect of fwd_smooth: force real outputs of each sub-stage
+    def kin_only(d):
+        d = K.kinematics(m, d)
+        return d.xpos, d.xquat, d.geom_xpos, d.site_xmat
+    timeit("  kinematics only", jax.jit(kin_only), d0)
+
+    def through_compos(d):
+        d = K.kinematics(m, d)
+        d = K.com_pos(m, d)
+        return d.cdof, d.cinert, d.subtree_com
+    timeit("  kin+com_pos", jax.jit(through_compos), d0)
+
+    def through_crb(d):
+        d = K.kinematics(m, d)
+        d = K.com_pos(m, d)
+        d = K.tendon(m, d)
+        d = S.crb(m, d)
+        return d.qLD, d.qLDiagInv
+    timeit("  kin+com_pos+crb+factor", jax.jit(through_crb), d0)
+
+    def through_col(d):
+        d = K.kinematics(m, d)
+        d = col.collision(m, d)
+        return d.contact.dist, d.contact.frame
+    timeit("  kin+collision", jax.jit(through_col), d0)
+
+    def through_vel(d):
+        d = K.kinematics(m, d)
+        d = K.com_pos(m, d)
+        d = S.com_vel(m, d)
+        d = P.passive(m, d)
+        d = S.rne(m, d)
+        return d.qfrc_passive, d.qfrc_bias
+    timeit("  kin+compos+vel+passive+rne", jax.jit(through_vel), d0)
+
     def efc_only(d):
         d = fwd_smooth(d)
         lim, groups = C.make_efc(m, d)
@@ -59,7 +99,7 @@ def main():
         def solve_it(d, it=it):
             d = fwd_smooth(d)
             d = C.solve(m, d, iterations=it)
-            return d.qacc, d.qfrc_constraint, d.contact_force
+            return d.qacc, d.qfrc_constraint, d.warm_f
         timeit(f"fwd + solve(iters={it})", jax.jit(solve_it), d0)
 
     def full_fwd(d):
