@@ -64,6 +64,10 @@ class Task:
     phys_dt: float = 2e-4
     time_limit: float = 1.0
 
+    # True when init_state ignores rng: lets auto-reset broadcast one
+    # fresh state instead of recomputing a full batched reset every step.
+    deterministic_init: bool = False
+
     def init_state(self, model: Model, data: Data, rng) -> tuple[Data, Any]:
         """Set episode-initial qpos/qvel and task state (per env)."""
         return data, ()
@@ -177,10 +181,34 @@ class FlyEnv:
     def apply_autoreset(self, state: EnvState) -> EnvState:
         """In-graph per-env episode reset on done. Only the true dynamical
         state (types.STATE_FIELDS) is swapped; the terminal step's
-        reward/done/discount stay visible."""
+        reward/done/discount stay visible.
+
+        Tasks with rng-independent initial states (deterministic_init)
+        compute the fresh state at B=1 and broadcast — the full batched
+        re-reset (an extra FK+velocity pass per control step) disappears.
+        """
         keys = jax.vmap(jax.random.split)(state.rng)
         rng, reset_keys = keys[:, 0], keys[:, 1]
-        fresh = self.reset(reset_keys)
+        B = reset_keys.shape[0]
+        if getattr(self.task, "deterministic_init", False):
+            fresh1 = self.reset(reset_keys[:1])
+
+            def btail(x):
+                return jnp.broadcast_to(x, x.shape[:-1] + (B,))
+
+            def blead(x):
+                return jnp.broadcast_to(x, (B,) + x.shape[1:])
+
+            fresh = EnvState(
+                data=jax.tree_util.tree_map(btail, fresh1.data),
+                obs=jax.tree_util.tree_map(blead, fresh1.obs),
+                reward=blead(fresh1.reward), done=blead(fresh1.done),
+                discount=blead(fresh1.discount),
+                step_idx=blead(fresh1.step_idx), rng=rng,
+                task_state=jax.tree_util.tree_map(btail, fresh1.task_state),
+                metrics=jax.tree_util.tree_map(blead, fresh1.metrics))
+        else:
+            fresh = self.reset(reset_keys)
 
         done = state.done                        # (B,)
 

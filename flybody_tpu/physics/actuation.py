@@ -118,37 +118,55 @@ def _adhesion_plan(m: Model):
 def adhesion_qfrc(m: Model, d: Data, force: jnp.ndarray) -> jnp.ndarray:
     """qfrc (nv, B) contribution of adhesion actuators given their scalar
     forces (nu, B). Matches mj_transmission mjTRN_BODY semantics: moment =
-    -(mean over active contacts of the normal jacobian row) * gear."""
+    -(mean over active contacts of the normal jacobian row) * gear.
+
+    Triple-product form: n_s . jacp(v) = base_v . n_s + ang_v . (p_s x n_s)
+    — everything is computed from SLOT-sized (S ~ 50) and dof-sized arrays
+    with one (S, nv) static signed support mask; nothing triplet-sized
+    (S x supports) is ever materialized (round-2 trace: the triplet
+    gathers were ~20% of the whole substep)."""
     qfrc = jnp.zeros_like(d.qvel)
     plan = _adhesion_plan(m)
     if plan is None or m.ncon_max == 0:
         return qfrc
     dtype = d.qpos.dtype
-    root_of_dof = np.asarray(m.body_rootid)[np.asarray(m.dof_bodyid)]
     con = d.contact
     nact = len(plan["acts"])
     slots, slot_seg = plan["slots"], plan["slot_seg"]
-    tri_s, tri_v, tri_seg = plan["tri_s"], plan["tri_v"], plan["tri_seg"]
+    S = len(slots)
 
-    # active = within the full margin zone (adhesion acts across gap)
+    # per-slot quantities (S, 3, B)
+    pos_s = con.pos[slots]
+    n_s = con.frame[slots][:, 0]
+    w_s = bq.cross(pos_s, n_s)
     active = (con.dist[slots] < m.con_margin[slots, None]).astype(dtype)
     count = jnp.zeros((nact, active.shape[-1]),
                       dtype).at[slot_seg].add(active)          # (nact, B)
-    # per-triplet normal jacobian entry: n_s . jacp(v), sign-corrected
-    pos_s = con.pos[tri_s]                                     # (P, 3, B)
-    n_tri = con.frame[tri_s][:, 0]                             # (P, 3, B)
-    cd = d.cdof[tri_v]                                         # (P, 6, B)
-    comroot = d.subtree_com[root_of_dof[tri_v]]
-    jacp = cd[:, 3:] + bq.cross(cd[:, :3], pos_s - comroot)
-    sign = jnp.asarray(plan["tri_sign"], dtype)[:, None]
-    jn = jnp.sum(n_tri * jacp, axis=-2) * sign                 # (P, B)
-    act_tri = (con.dist[tri_s] < m.con_margin[tri_s, None]).astype(dtype)
+
+    # per-dof quantities
+    root_of_dof = np.asarray(m.body_rootid)[np.asarray(m.dof_bodyid)]
+    ang = d.cdof[:, :3]                                        # (nv, 3, B)
+    base = d.cdof[:, 3:] - bq.cross(ang, d.subtree_com[root_of_dof])
+
+    # static signed support mask (S, nv): (m2 - m1)[v] per slot
+    key = ("signmask", id(m.actuator_trnid))
+    if key not in _ADH_CACHE:
+        slot_b1, slot_b2 = _slot_bodies(m)
+        bdm = np.asarray(m.body_dof_mask).astype(np.float64)
+        sm = bdm[slot_b2[slots]] - bdm[slot_b1[slots]]         # (S, nv)
+        _ADH_CACHE[key] = sm
+    signmask = jnp.asarray(_ADH_CACHE[key], dtype)
+
     gain = m.actuator_gear[plan["acts"], 0]                    # (nact,)
     scale = jnp.where(count > 0,
                       -gain[:, None] / jnp.maximum(count, 1.0),
                       0.0) * force[plan["acts"]]               # (nact, B)
-    row_scaled = jn * act_tri * scale[tri_seg]
-    return qfrc.at[tri_v].add(row_scaled)
+    coeff = active * scale[slot_seg]                           # (S, B)
+
+    # qfrc_v = sum_s signmask[s,v] coeff[s] (base_v . n_s + ang_v . w_s)
+    jn = (jnp.einsum("vcB,scB->svB", base, n_s)
+          + jnp.einsum("vcB,scB->svB", ang, w_s))              # (S, nv, B)
+    return qfrc + jnp.einsum("sv,svB,sB->vB", signmask, jn, coeff)
 
 
 def actuation(m: Model, d: Data) -> Data:

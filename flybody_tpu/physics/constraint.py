@@ -199,8 +199,16 @@ def _contact_groups(m: Model, d: Data, meta: EfcMeta) -> list[ConGroup]:
             K = len(slots)
         sel = jnp.asarray(slots)[sel_local]    # (K, B) global slot ids
         pos_c = jnp.take_along_axis(sd, sel_local, axis=0)   # (K, B)
-        solref = tuple(m.con_solref[:, i][sel] for i in range(2))
-        solimp = tuple(m.con_solimp[:, i][sel] for i in range(5))
+        # ONE packed per-slot param gather instead of nine separate ones
+        packed = jnp.concatenate([
+            m.con_solref, m.con_solimp, m.con_friction[:, :1],
+            m.body_invweight0[slot_b1, 0][:, None]
+            + m.body_invweight0[slot_b2, 0][:, None]], axis=1)  # (ncon, 9)
+        pp = packed[sel]                       # (K, B, 9)
+        solref = (pp[..., 0], pp[..., 1])
+        solimp = tuple(pp[..., 2 + i] for i in range(5))
+        mu = pp[..., 7]                        # (K, B)
+        invw = pp[..., 8]
         k_, b_, imp = _kbi(solref, solimp, pos_c)
 
         cpos = jnp.take_along_axis(con.pos, sel[:, None, :], axis=0)
@@ -222,8 +230,6 @@ def _contact_groups(m: Model, d: Data, meta: EfcMeta) -> list[ConGroup]:
         jac = jnp.einsum("kdcB,kvcB->kdvB", cframe[:, :ndim], jacp)
 
         vel = jnp.einsum("kdvB,vB->kdB", jac, d.qvel)
-        bw = m.body_invweight0[:, 0]
-        invw = bw[b1] + bw[b2]                 # (K, B)
         R_n = jnp.maximum((1.0 - imp) / imp * invw, 1e-12)
         aref_n = -b_ * vel[:, 0] - k_ * pos_c
         if ndim > 1:
@@ -236,7 +242,6 @@ def _contact_groups(m: Model, d: Data, meta: EfcMeta) -> list[ConGroup]:
         else:
             aref = aref_n[:, None]
             R = R_n[:, None]
-        mu = m.con_friction[:, 0][sel]
         out.append(ConGroup(
             condim=cd, K=K, sel=sel, jac=jac, aref=aref, R=R, mu=mu,
             active=(pos_c < 0.0).astype(dtype),

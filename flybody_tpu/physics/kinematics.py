@@ -23,24 +23,37 @@ from flybody_tpu.physics.types import Data, Model
 
 
 def kinematics(m: Model, d: Data) -> Data:
-    """mj_kinematics: body/geom/site frames from qpos."""
+    """mj_kinematics: body/geom/site frames from qpos.
+
+    Level-parallel with ROLLING CONCATENATION: each level's frames are
+    appended to a growing level-ordered buffer (one concat per level)
+    instead of being scattered into full-size arrays — the per-level
+    scatter/gather chains were a latency bottleneck. A single static
+    permutation restores body order at the end.
+    """
     dtype = d.qpos.dtype
     B = d.qpos.shape[-1]
     nb = m.nbody
-    xpos = jnp.zeros((nb, 3, B), dtype=dtype)
-    xquat = jnp.zeros((nb, 4, B), dtype=dtype).at[:, 0].set(1.0)
-    xanchor = jnp.zeros((m.njnt, 3, B), dtype=dtype)
-    xaxis = jnp.zeros((m.njnt, 3, B), dtype=dtype)
 
     jnt_type = np.asarray(m.jnt_type)
     jnt_qposadr = np.asarray(m.jnt_qposadr)
 
     mb = lambda x: x[..., None]  # broadcast model params over batch
 
+    # level-ordered layout: world (0) first, then tree levels in order
+    order_flat = np.concatenate([np.array([0])]
+                                + [np.asarray(l) for l in m.body_tree])
+    pos_of_body = np.empty(nb, dtype=np.int64)
+    pos_of_body[order_flat] = np.arange(nb)
+
+    buf_pos = jnp.zeros((1, 3, B), dtype=dtype)
+    buf_quat = jnp.zeros((1, 4, B), dtype=dtype).at[:, 0].set(1.0)
+    anchors, axes, jids_all, valid_all = [], [], [], []
+
     for level in m.body_tree:
         lev = np.asarray(level)
-        pid = np.asarray(m.body_parentid)[lev]
-        p_pos, p_quat = xpos[pid], xquat[pid]
+        pid = pos_of_body[np.asarray(m.body_parentid)[lev]]
+        p_pos, p_quat = buf_pos[pid], buf_quat[pid]
         pos = p_pos + bq.rotate(mb(m.body_pos[lev]), p_quat)
         quat = bq.mult(p_quat, mb(m.body_quat[lev]))
 
@@ -59,51 +72,71 @@ def kinematics(m: Model, d: Data) -> Data:
             is_hinge = jt == T.HINGE
             any_rot = is_ball | is_hinge
 
+            anchor = jnp.zeros((len(lev), 3, B), dtype)
+            axis_w = jnp.zeros((len(lev), 3, B), dtype)
+
             if is_free.any():
                 q3 = d.qpos[qadr[:, None] + np.arange(3)]     # (L, 3, B)
                 q4 = d.qpos[qadr[:, None] + np.arange(3, 7)]  # (L, 4, B)
                 fm = jnp.asarray(is_free)[:, None, None]
                 pos = jnp.where(fm, q3, pos)
                 quat = jnp.where(fm, q4, quat)
-                xanchor = xanchor.at[jid].set(
-                    jnp.where(fm, q3, xanchor[jid]))
+                anchor = jnp.where(fm, q3, anchor)
                 zax = jnp.zeros((len(jid), 3, B), dtype).at[:, 2].set(1.0)
-                xaxis = xaxis.at[jid].set(jnp.where(fm, zax, xaxis[jid]))
+                axis_w = jnp.where(fm, zax, axis_w)
 
-            if not (is_ball | is_slide | is_hinge).any():
-                continue
+            if (is_ball | is_slide | is_hinge).any():
+                jpos = mb(m.jnt_pos[jid])
+                jaxis = mb(m.jnt_axis[jid])
+                anc = pos + bq.rotate(jpos, quat)
+                axw = bq.rotate(jaxis, quat)
 
-            jpos = mb(m.jnt_pos[jid])
-            jaxis = mb(m.jnt_axis[jid])
-            anchor = pos + bq.rotate(jpos, quat)
-            axis_w = bq.rotate(jaxis, quat)
+                if is_slide.any():
+                    delta = d.qpos[qadr] - m.qpos0[qadr][:, None]  # (L, B)
+                    pos = jnp.where(jnp.asarray(is_slide)[:, None, None],
+                                    pos + axw * delta[:, None, :], pos)
 
-            if is_slide.any():
-                delta = d.qpos[qadr] - m.qpos0[qadr][:, None]  # (L, B)
-                pos = jnp.where(jnp.asarray(is_slide)[:, None, None],
-                                pos + axis_w * delta[:, None, :], pos)
+                if any_rot.any():
+                    angle = d.qpos[qadr] - m.qpos0[qadr][:, None]
+                    qloc_h = bq.axis_angle(jaxis, angle)
+                    qloc_b = d.qpos[qadr[:, None] + np.arange(4)]
+                    qloc = jnp.where(jnp.asarray(is_ball)[:, None, None],
+                                     qloc_b, qloc_h)
+                    new_quat = bq.mult(quat, qloc)
+                    new_pos = anc - bq.rotate(jpos, new_quat)
+                    am = jnp.asarray(any_rot)[:, None, None]
+                    quat = jnp.where(am, new_quat, quat)
+                    pos = jnp.where(am, new_pos, pos)
 
-            if any_rot.any():
-                angle = d.qpos[qadr] - m.qpos0[qadr][:, None]
-                qloc_h = bq.axis_angle(jaxis, angle)
-                qloc_b = d.qpos[qadr[:, None] + np.arange(4)]
-                qloc = jnp.where(jnp.asarray(is_ball)[:, None, None],
-                                 qloc_b, qloc_h)
-                new_quat = bq.mult(quat, qloc)
-                new_pos = anchor - bq.rotate(jpos, new_quat)
-                am = jnp.asarray(any_rot)[:, None, None]
-                quat = jnp.where(am, new_quat, quat)
-                pos = jnp.where(am, new_pos, pos)
+                mask = jnp.asarray(
+                    is_ball | is_slide | is_hinge)[:, None, None]
+                anchor = jnp.where(mask, anc, anchor)
+                axis_w = jnp.where(mask, axw, axis_w)
 
-            mask = jnp.asarray(is_ball | is_slide | is_hinge)[:, None, None]
-            xanchor = xanchor.at[jid].set(
-                jnp.where(mask, anchor, xanchor[jid]))
-            xaxis = xaxis.at[jid].set(jnp.where(mask, axis_w, xaxis[jid]))
+            anchors.append(anchor)
+            axes.append(axis_w)
+            jids_all.append(jid)
+            valid_all.append(has & (jt >= 0))
 
         # normalize quats once per level to keep long chains stable
         quat = quat / jnp.linalg.norm(quat, axis=-2, keepdims=True)
-        xpos = xpos.at[lev].set(pos)
-        xquat = xquat.at[lev].set(quat)
+        buf_pos = jnp.concatenate([buf_pos, pos], axis=0)
+        buf_quat = jnp.concatenate([buf_quat, quat], axis=0)
+
+    # restore body order with one static permutation
+    xpos = buf_pos[pos_of_body]
+    xquat = buf_quat[pos_of_body]
+
+    # joint anchors/axes: one concat + one static scatter over valid slots
+    xanchor = jnp.zeros((m.njnt, 3, B), dtype=dtype)
+    xaxis = jnp.zeros((m.njnt, 3, B), dtype=dtype)
+    if jids_all:
+        jcat = np.concatenate(jids_all)
+        vcat = np.concatenate(valid_all)
+        acat = jnp.concatenate(anchors, axis=0)
+        xcat = jnp.concatenate(axes, axis=0)
+        xanchor = xanchor.at[jcat[vcat]].set(acat[vcat])
+        xaxis = xaxis.at[jcat[vcat]].set(xcat[vcat])
 
     xmat = bq.to_mat(xquat)
     mb = lambda x: x[..., None]

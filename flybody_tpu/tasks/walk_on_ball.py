@@ -38,6 +38,7 @@ def ball_arena(ball_pos=(-0.05, 0.0, -0.419), ball_radius=0.454,
 class WalkOnBall(Task):
     ctrl_dt = C.WALK_CONTROL_TIMESTEP
     phys_dt = C.WALK_PHYSICS_TIMESTEP
+    deterministic_init = True
 
     def __init__(self, walker: FlyWalker, time_limit: float = 2.0):
         self.walker = walker
