@@ -418,7 +418,7 @@ def make_data(model: Model, B: int = 1, dtype=None) -> Data:
         site_xpos=z(model.nsite, 3),
         site_xmat=jnp.broadcast_to(jnp.eye(3, dtype=dtype)[None, :, :, None],
                                    (model.nsite, 3, 3, B)),
-        subtree_com=z(nbody, 3), cinert=z(nbody, 6, 6), cdof=z(nv, 6),
+        subtree_com=z(nbody, 3), cinert=z(nbody, 10), cdof=z(nv, 6),
         ten_length=z(model.ntendon),
         qM=z(nM), qLD=z(nM), qLDiagInv=z(nv), contact=contact,
         cvel=z(nbody, 6), cdof_dot=z(nv, 6),

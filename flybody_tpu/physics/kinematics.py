@@ -170,30 +170,57 @@ def _skew(v):
 
 
 def spatial_inertia(m: Model, d: Data) -> jnp.ndarray:
-    """(nbody, 6, 6, B) spatial inertia of each body at its com-root origin.
+    """(nbody, 10, B) COMPACT spatial inertia at the com-root origin, in
+    MuJoCo's own cinert layout: [Ixx Iyy Izz Ixy Ixz Iyz, mc(3), m].
 
-    Convention: motion vectors are (angular, linear); the spatial inertia
-    maps v -> force (torque, force) about the same origin.
+    The compact form keeps the CRB/RNE products as a handful of fused
+    elementwise ops — the explicit (6, 6) matrix build (and the layout
+    copies XLA inserted around it) was ~15% of the round-2 substep.
+    Convention: motion vectors are (angular, linear);
+    force = (torque, force) about the same origin (see mul_inertia).
     """
     root = np.asarray(m.body_rootid)
     com_root = d.subtree_com[root]
     c = d.xipos - com_root                       # (nbody, 3, B)
     R = d.ximat                                  # (nbody, 3, 3, B)
-    I3 = bq.matmat(R * m.body_inertia[:, None, :, None],
-                   jnp.swapaxes(R, -3, -2))
-    mass = m.body_mass[:, None, None, None]
-    cx = _skew(c)
-    cxT = jnp.swapaxes(cx, -3, -2)
-    top_left = I3 + mass * bq.matmat(cx, cxT)
-    top_right = mass * cx
-    bot_left = mass * cxT
-    B = c.shape[-1]
-    eye = jnp.broadcast_to(jnp.eye(3, dtype=c.dtype)[None, :, :, None],
-                           cx.shape)
-    bot_right = mass * eye
-    top = jnp.concatenate([top_left, top_right], axis=-2)
-    bot = jnp.concatenate([bot_left, bot_right], axis=-2)
-    return jnp.concatenate([top, bot], axis=-3)
+    Ic = m.body_inertia[:, None, :, None]        # (nbody, 1, 3, 1)
+    mass = m.body_mass[:, None, None]            # (nbody, 1, 1)
+    # I_O[i, j] = sum_k Ic_k R[i, k] R[j, k] + m (|c|^2 d_ij - c_i c_j)
+    RI = R * Ic                                  # (nbody, 3, 3, B)
+    c2 = jnp.sum(c * c, axis=-2, keepdims=True)  # (nbody, 1, B)
+
+    def entry(i, j):
+        val = jnp.sum(RI[:, i] * R[:, j], axis=-2)
+        if i == j:
+            val = val + mass[..., 0] * (c2[:, 0] - c[:, i] * c[:, j])
+        else:
+            val = val - mass[..., 0] * c[:, i] * c[:, j]
+        return val
+
+    comps = [entry(0, 0), entry(1, 1), entry(2, 2),
+             entry(0, 1), entry(0, 2), entry(1, 2)]
+    h = mass * c                                 # (nbody, 3, B)
+    return jnp.concatenate(
+        [jnp.stack(comps, axis=1), h,
+         jnp.broadcast_to(mass, c[:, :1].shape)], axis=1)
+
+
+def mul_inertia(cin: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
+    """Compact spatial inertia product: (..., 10, B) x (..., 6, B) motion
+    -> (..., 6, B) force (torque, force)."""
+    Ixx, Iyy, Izz = cin[..., 0, :], cin[..., 1, :], cin[..., 2, :]
+    Ixy, Ixz, Iyz = cin[..., 3, :], cin[..., 4, :], cin[..., 5, :]
+    h = cin[..., 6:9, :]
+    mass = cin[..., 9:10, :]
+    w = v[..., :3, :]
+    u = v[..., 3:, :]
+    wx, wy, wz = w[..., 0, :], w[..., 1, :], w[..., 2, :]
+    Iw = jnp.stack([Ixx * wx + Ixy * wy + Ixz * wz,
+                    Ixy * wx + Iyy * wy + Iyz * wz,
+                    Ixz * wx + Iyz * wy + Izz * wz], axis=-2)
+    torque = Iw + bq.cross(h, u)
+    force = mass * u - bq.cross(h, w)
+    return jnp.concatenate([torque, force], axis=-2)
 
 
 def com_pos(m: Model, d: Data) -> Data:

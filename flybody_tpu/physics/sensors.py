@@ -95,9 +95,9 @@ def rne_postconstraint(m: Model, d: Data):
     cfrc_ext = cfrc_ext.at[:, :3].add(torque + bq.cross(offset, force))
     cfrc_ext = cfrc_ext.at[:, 3:].add(force)
 
-    Iv = jnp.einsum("bijB,bjB->biB", d.cinert, d.cvel)
-    leaf = (jnp.einsum("bijB,bjB->biB", d.cinert, cacc)
-            + S.force_cross(d.cvel, Iv) - cfrc_ext)
+    from flybody_tpu.physics.kinematics import mul_inertia
+    Iv = mul_inertia(d.cinert, d.cvel)
+    leaf = mul_inertia(d.cinert, cacc) + S.force_cross(d.cvel, Iv) - cfrc_ext
     anc, desc = _subtree_pairs(m)
     cfrc_int = jnp.zeros_like(leaf).at[anc].add(leaf[desc])
     return cacc, cfrc_int

@@ -126,13 +126,14 @@ def com_vel(m: Model, d: Data) -> Data:
 
 def crb(m: Model, d: Data) -> Data:
     """mj_crb + mj_factorM: compressed tree-sparse inertia + LDL^T."""
+    from flybody_tpu.physics.kinematics import mul_inertia
     from flybody_tpu.physics.sensors import _subtree_pairs
     anc, desc = _subtree_pairs(m)
     crb_inert = jnp.zeros_like(d.cinert).at[anc].add(d.cinert[desc])
 
     body_of_dof = np.asarray(m.dof_bodyid)
-    crb_dof = crb_inert[body_of_dof]            # (nv, 6, 6, B)
-    tmp = jnp.einsum("vijB,vjB->viB", crb_dof, d.cdof)  # (nv, 6, B)
+    crb_dof = crb_inert[body_of_dof]            # (nv, 10, B)
+    tmp = mul_inertia(crb_dof, d.cdof)          # (nv, 6, B)
 
     tree = m.tree
     ei = np.asarray(tree.entry_i)
@@ -180,9 +181,9 @@ def rne(m: Model, d: Data) -> Data:
     dof_contrib = d.cdof_dot * d.qvel[:, None, :]   # (nv, 6, B)
     cacc = body_cacc(m, d, dof_contrib)
 
-    Iv = jnp.einsum("bijB,bjB->biB", d.cinert, d.cvel)
-    cfrc = (jnp.einsum("bijB,bjB->biB", d.cinert, cacc)
-            + force_cross(d.cvel, Iv))
+    from flybody_tpu.physics.kinematics import mul_inertia
+    Iv = mul_inertia(d.cinert, d.cvel)
+    cfrc = mul_inertia(d.cinert, cacc) + force_cross(d.cvel, Iv)
 
     bp, vp = _support_pairs(m)
     dots = jnp.sum(d.cdof[vp] * cfrc[bp], axis=-2)  # (npairs, B)

@@ -313,7 +313,7 @@ class Data:
     geom_xpos: jax.Array; geom_xmat: jax.Array
     site_xpos: jax.Array; site_xmat: jax.Array
     subtree_com: jax.Array  # (nbody, 3, B)
-    cinert: jax.Array       # (nbody, 6, 6, B) spatial inertia, com-root origin
+    cinert: jax.Array       # (nbody, 10, B) compact spatial inertia\n    # [Ixx Iyy Izz Ixy Ixz Iyz, mc(3), m] at com-root origin (mjData layout)
     cdof: jax.Array         # (nv, 6, B)
     ten_length: jax.Array   # (ntendon, B)
     qM: jax.Array           # (nM, B) compressed (tree-sparse) inertia

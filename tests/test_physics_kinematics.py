@@ -110,24 +110,10 @@ def test_com_pos_matches_mujoco(setup, seed):
     d = K.kinematics(model, d)
     d = K.com_pos(model, d)
     d = io_mj.unbatch(d)
-
     np.testing.assert_allclose(d.subtree_com, mjd.subtree_com, atol=1e-8)
     np.testing.assert_allclose(d.cdof, mjd.cdof, atol=1e-8)
-    # cinert: mj layout [I11 I22 I33 I12 I13 I23, mc(3), m]; ours is 6x6.
-    ours = np.asarray(d.cinert)
-    for b in range(mj_model.nbody):
-        c = mjd.cinert[b]
-        I = np.array([[c[0], c[3], c[4]],
-                      [c[3], c[1], c[5]],
-                      [c[4], c[5], c[2]]])
-        np.testing.assert_allclose(ours[b, :3, :3], I, atol=1e-8)
-        mc = c[6:9]
-        skew = np.array([[0, -mc[2], mc[1]],
-                         [mc[2], 0, -mc[0]],
-                         [-mc[1], mc[0], 0]])
-        np.testing.assert_allclose(ours[b, :3, 3:], skew, atol=1e-8)
-        np.testing.assert_allclose(ours[b, 3:, 3:], c[9] * np.eye(3),
-                                   atol=1e-8)
+    # compact cinert uses MuJoCo's own [I6, mc(3), m] layout: direct compare
+    np.testing.assert_allclose(d.cinert, mjd.cinert, atol=1e-8)
 
 
 def test_tendon_matches_mujoco(setup):
