@@ -35,6 +35,33 @@ def _shard_leading(mesh: Mesh, tree, axis: str):
     return jax.tree.map(one, tree)
 
 
+def _shard_trailing(mesh: Mesh, tree, axis: str):
+    """NamedSharding pytree: shard leaf TRAILING dim over `axis` (the
+    physics engine's env-batch axis, physics/types.py)."""
+    def one(x):
+        if hasattr(x, "ndim") and x.ndim >= 1:
+            return NamedSharding(mesh, P(*((None,) * (x.ndim - 1)), axis))
+        return NamedSharding(mesh, P())
+    return jax.tree.map(one, tree)
+
+
+def _shard_env_states(mesh: Mesh, env_states, axis: str):
+    """EnvState sharding: batch-trailing leaves (data, task_state) shard
+    on the last dim; batch-leading leaves (obs, bookkeeping) on the
+    first."""
+    from flybody_tpu.envs.core import EnvState
+
+    lead = lambda t: _shard_leading(mesh, t, axis)
+    tail = lambda t: _shard_trailing(mesh, t, axis)
+    return EnvState(
+        data=tail(env_states.data), obs=lead(env_states.obs),
+        reward=lead(env_states.reward), done=lead(env_states.done),
+        discount=lead(env_states.discount),
+        step_idx=lead(env_states.step_idx), rng=lead(env_states.rng),
+        task_state=tail(env_states.task_state),
+        metrics=lead(env_states.metrics))
+
+
 def _replicate(mesh: Mesh, tree):
     return jax.tree.map(lambda x: NamedSharding(mesh, P()), tree)
 
@@ -48,7 +75,7 @@ def loop_shardings(mesh: Mesh, loop_state, axis: str = "env"):
 
     return LoopState(
         train=_replicate(mesh, loop_state.train),
-        env_states=_shard_leading(mesh, loop_state.env_states, axis),
+        env_states=_shard_env_states(mesh, loop_state.env_states, axis),
         replay=dataclasses.replace(
             _replicate(mesh, loop_state.replay),
             storage=_shard_leading(mesh, loop_state.replay.storage, axis)),
