@@ -89,6 +89,16 @@ class Task:
         """-> (reward, terminated(bool), discount)."""
         raise NotImplementedError
 
+    def reward_step(self, model: Model, data: Data, task_state,
+                    sensor_mean):
+        """-> (reward, terminated, discount, new_task_state). Override for
+        reward mechanisms that carry state (stale-reward timers, touch
+        state machines — reference rodent_tasks_modified.py); the default
+        delegates to the stateless reward_term_discount."""
+        r, t, d = self.reward_term_discount(model, data, task_state,
+                                            sensor_mean)
+        return r, t, d, task_state
+
 
 class FlyEnv:
     """Pure functional batched environment: physics engine + a Task."""
@@ -157,10 +167,13 @@ class FlyEnv:
             lambda d, ts: task.after_substeps(model, d, ts),
             in_axes=(-1, -1), out_axes=-1)(data, task_state)
 
+        reward, terminated, discount, task_state = jax.vmap(
+            lambda d, ts, sm: task.reward_step(model, d, ts, sm),
+            in_axes=(-1, -1, -1), out_axes=(0, 0, 0, -1))(
+                data, task_state, sensor_mean)
+        # observations see the post-reward task state (composer hook order:
+        # after_step -> get_reward -> observation assembly)
         obs = self._obs(data, task_state, sensor_mean)
-        reward, terminated, discount = jax.vmap(
-            lambda d, ts, sm: task.reward_term_discount(model, d, ts, sm),
-            in_axes=(-1, -1, -1), out_axes=0)(data, task_state, sensor_mean)
         step_idx = state.step_idx + 1
         truncated = step_idx >= self.episode_steps
         done = jnp.logical_or(terminated, truncated)

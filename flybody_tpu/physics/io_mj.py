@@ -198,6 +198,7 @@ def _sensor_code(mj_type: int) -> int:
             S.mjSENS_TENDONVEL: T.SENS_TENDONVEL,
             S.mjSENS_SUBTREELINVEL: T.SENS_SUBTREELINVEL,
             S.mjSENS_FRAMEZAXIS: T.SENS_FRAMEZAXIS,
+            S.mjSENS_TORQUE: T.SENS_TORQUE,
         })
     code = _SENSOR_MAP.get(mj_type)
     if code is None:

@@ -123,7 +123,8 @@ def sensor(m: Model, d: Data) -> Data:
     adr = np.asarray(m.sensor_adr)
 
     need_acc = np.any((types == T.SENS_ACCELEROMETER)
-                      | (types == T.SENS_FORCE))
+                      | (types == T.SENS_FORCE)
+                      | (types == T.SENS_TORQUE))
     cacc = cfrc_int = None
     if need_acc:
         cacc, cfrc_int = rne_postconstraint(m, d)
@@ -134,7 +135,7 @@ def sensor(m: Model, d: Data) -> Data:
     for i in range(m.nsensor):
         st, oid, a = int(types[i]), int(objid[i]), int(adr[i])
         if st in (T.SENS_GYRO, T.SENS_VELOCIMETER, T.SENS_ACCELEROMETER,
-                  T.SENS_FORCE):
+                  T.SENS_FORCE, T.SENS_TORQUE):
             b = site_body[oid]
             com = d.subtree_com[root[b]]
             p = d.site_xpos[oid]
@@ -148,8 +149,12 @@ def sensor(m: Model, d: Data) -> Data:
                 aang, alin = _spatial_at_point(cacc[b], com, p)
                 alin = alin + bq.cross(ang_w, lin_w)
                 out = out.at[a:a + 3].set(bq.matvec_t(R, alin))
-            else:  # FORCE: interaction force on the body subtree, at site
+            elif st == T.SENS_FORCE:
+                # interaction force on the body subtree, at site
                 out = out.at[a:a + 3].set(bq.matvec_t(R, cfrc_int[b, 3:]))
+            else:  # TORQUE: subtree torque translated from com to site
+                trq = cfrc_int[b, :3] - bq.cross(p - com, cfrc_int[b, 3:])
+                out = out.at[a:a + 3].set(bq.matvec_t(R, trq))
         elif st == T.SENS_TOUCH:
             b = site_body[oid]
             val = jnp.zeros((B,), dtype)

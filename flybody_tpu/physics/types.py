@@ -100,6 +100,7 @@ SENS_TENDONPOS = 11
 SENS_TENDONVEL = 12
 SENS_SUBTREELINVEL = 13
 SENS_FRAMEZAXIS = 14
+SENS_TORQUE = 15
 
 
 class Static(np.ndarray):
