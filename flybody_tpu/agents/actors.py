@@ -36,24 +36,48 @@ class RolloutConfig:
     discount: float = 0.99
 
 
-def make_rollout_fn(env, policy_apply, cfg: RolloutConfig,
-                    stochastic: bool = True, action_delay: int = 0):
-    """Returns rollout(params, env_states, rng) ->
-    (new_env_states, Transition batch (flattened windows), metrics).
+def init_rollout_tail(cfg: RolloutConfig, n_env: int, obs_size: int,
+                      action_size: int):
+    """Inert (n-1)-step tail seeding the first chunk: done=True at every
+    slot, so no window can extend past a tail step. (The few zero-obs
+    transitions that start in the seed tail carry reward 0 / discount 0 —
+    one-time, inert for learning.)"""
+    n = cfg.n_step - 1
+    z = lambda *s: jnp.zeros(s, jnp.float32)
+    return dict(obs=z(n, n_env, obs_size), action=z(n, n_env, action_size),
+                reward=z(n, n_env), discount=z(n, n_env),
+                done=jnp.ones((n, n_env), bool),
+                obs_after=z(n, n_env, obs_size),
+                episode_return=z(n, n_env))
 
-    `env_states` is a vmapped batch of EnvState. `action_delay` emulates the
-    reference's DelayedFeedForwardActor queue (reference agents/actors.py:79).
+
+def make_rollout_fn(env, policy_apply, cfg: RolloutConfig,
+                    stochastic: bool = True, action_delay: int = 0,
+                    obs_keys=None):
+    """Returns rollout(params, env_states, tail, rng) ->
+    (new_env_states, new_tail, Transition batch (flattened windows),
+    metrics).
+
+    `env_states` is a vmapped batch of EnvState. `policy_apply(params, obs,
+    key)` may use `key` for latent sampling (intention nets). `tail` is the
+    previous chunk's trailing n-1 steps, prepended so every control step
+    starts exactly one n-step window (acme's adder streams across chunk
+    boundaries; without the tail the last n-1 steps of every chunk never
+    start a transition). `action_delay` emulates the reference's
+    DelayedFeedForwardActor queue (reference agents/actors.py:79).
+    `obs_keys` fixes the flattening order (task-first for intention nets).
     """
     lo, hi = env.action_spec()
     lo = jnp.asarray(lo, jnp.float32)
     hi = jnp.asarray(hi, jnp.float32)
+    concat = lambda obs: batch_concat(obs, keys=obs_keys)
 
-    def rollout(params, env_states, rng):
+    def rollout(params, env_states, tail, rng):
         def one(carry, _):
             states, rng_, delay_buf = carry
-            rng_, k_act = jax.random.split(rng_)
-            obs_flat = jax.vmap(batch_concat)(states.obs)
-            dist = policy_apply(params, obs_flat)
+            rng_, k_act, k_lat = jax.random.split(rng_, 3)
+            obs_flat = jax.vmap(concat)(states.obs)
+            dist = policy_apply(params, obs_flat, k_lat)
             canonical = dist.sample(k_act) if stochastic else dist.mode()
             if action_delay > 0:
                 # fixed action-delay queue (reference DelayedFeedForward
@@ -64,7 +88,7 @@ def make_rollout_fn(env, policy_apply, cfg: RolloutConfig,
                 canonical = delayed
             actions = canonical_to_real(canonical, lo, hi)
             stepped = env.step(states, actions)
-            obs_after = jax.vmap(batch_concat)(stepped.obs)
+            obs_after = jax.vmap(concat)(stepped.obs)
             next_states = env.apply_autoreset(stepped)
             out = dict(obs=obs_flat, action=canonical,
                        reward=stepped.reward, discount=stepped.discount,
@@ -78,7 +102,13 @@ def make_rollout_fn(env, policy_apply, cfg: RolloutConfig,
         (env_states, rng, _), traj = jax.lax.scan(
             one, (env_states, rng, delay_buf0), None,
             length=cfg.unroll_length)
-        transitions = nstep_from_trajectory(traj, cfg)
+        if cfg.n_step > 1 and tail is not None:
+            full = jax.tree.map(
+                lambda a, b: jnp.concatenate([a, b], axis=0), tail, traj)
+            new_tail = jax.tree.map(lambda x: x[-(cfg.n_step - 1):], traj)
+        else:
+            full, new_tail = traj, tail
+        transitions = nstep_from_trajectory(full, cfg)
         metrics = {
             "mean_reward": jnp.mean(traj["reward"]),
             "episodes_done": jnp.sum(traj["done"]),
@@ -86,7 +116,7 @@ def make_rollout_fn(env, policy_apply, cfg: RolloutConfig,
                 jnp.sum(jnp.where(traj["done"], traj["episode_return"], 0.0))
                 / jnp.maximum(jnp.sum(traj["done"]), 1.0)),
         }
-        return env_states, transitions, metrics
+        return env_states, new_tail, transitions, metrics
 
     return rollout
 

@@ -73,9 +73,10 @@ class DMPOConfig:
     # (reference learning_dmpo.py:361-373): loss += eps * KL(teacher||pi)
     kickstart_epsilon: float = 0.0
     teacher_apply: Callable | None = None  # (obs)->NormalDiag, frozen
-    # optional KL-to-N(0,1) regularizer on the action distribution
-    # (reference learning_dmpo.py:376-385)
-    kl_to_prior_weight: float = 0.0
+    # optional KL-to-N(0,1) regularizers (reference learning_dmpo.py:
+    # 376-385: KL_weights = [intention, action])
+    kl_to_prior_weight: float = 0.0        # action dist KL (KL_weights[1])
+    intention_kl_weight: float = 0.0       # intention latent KL ([0])
 
 
 def categorical_l2_project(z_p, probs, z_q):
@@ -104,12 +105,20 @@ class DMPOLearner:
     """Holds network defs + config; all state flows through TrainState."""
 
     def __init__(self, policy, critic, action_size: int, obs_size: int,
-                 cfg: DMPOConfig = DMPOConfig()):
+                 cfg: DMPOConfig = DMPOConfig(),
+                 intention_apply: Callable | None = None,
+                 policy_tx_wrapper: Callable | None = None):
+        """intention_apply: (params, obs) -> (action_dist, intention_dist)
+        for the intention-latent KL regularizer. policy_tx_wrapper wraps
+        the policy optimizer (e.g. freeze_decoder_tx for transfer mode,
+        reference learning_dmpo.py:236-243)."""
         self.policy = policy
         self.critic = critic
         self.cfg = cfg
         self.action_size = action_size
         self.obs_size = obs_size
+        self.intention_apply = intention_apply
+        self.policy_tx_wrapper = policy_tx_wrapper
         self.policy_opt = optax.chain(
             optax.clip_by_global_norm(cfg.clip_global_norm),
             optax.adam(cfg.policy_lr))
@@ -125,6 +134,9 @@ class DMPOLearner:
         policy_params = self.policy.init(kp, obs)
         critic_params = self.critic.init(kc, obs, act)
         dual_params = losses_mpo.init_dual_params(self.action_size)
+        if self.policy_tx_wrapper is not None:
+            self.policy_opt = optax.chain(
+                self.policy_tx_wrapper(policy_params), self.policy_opt)
         return TrainState(
             policy_params=policy_params, critic_params=critic_params,
             target_policy_params=jax.tree.map(jnp.copy, policy_params),
@@ -165,7 +177,12 @@ class DMPOLearner:
     def _policy_loss(self, policy_params, dual_params, state: TrainState,
                      batch: Transition, a_t, q_values):
         cfg = self.cfg
-        online_dist = self.policy.apply(policy_params, batch.next_obs)
+        intention_dist = None
+        if self.intention_apply is not None:
+            online_dist, intention_dist = self.intention_apply(
+                policy_params, batch.next_obs)
+        else:
+            online_dist = self.policy.apply(policy_params, batch.next_obs)
         target_dist = self.policy.apply(state.target_policy_params,
                                         batch.next_obs)
         loss, stats = losses_mpo.mpo_loss(
@@ -177,13 +194,21 @@ class DMPOLearner:
             loss = loss + cfg.kickstart_epsilon * kl_ks
             stats["kickstart_kl"] = kl_ks
         if cfg.kl_to_prior_weight > 0:
-            from flybody_tpu.agents.distributions import NormalDiag
             prior = NormalDiag(jnp.zeros_like(online_dist.mean),
                                jnp.ones_like(online_dist.stddev))
             kl_prior = jnp.mean(jnp.sum(losses_mpo.kl_normal_diag_per_dim(
                 online_dist, prior), axis=-1))
             loss = loss + cfg.kl_to_prior_weight * kl_prior
             stats["kl_to_prior"] = kl_prior
+        if cfg.intention_kl_weight > 0 and intention_dist is not None:
+            # KL(intention || N(0,1)) on the latent (reference
+            # learning_dmpo.py:377-385 KL_intention term)
+            zprior = NormalDiag(jnp.zeros_like(intention_dist.mean),
+                                jnp.ones_like(intention_dist.stddev))
+            kl_int = jnp.mean(jnp.sum(losses_mpo.kl_normal_diag_per_dim(
+                intention_dist, zprior), axis=-1))
+            loss = loss + cfg.intention_kl_weight * kl_int
+            stats["intention_kl"] = kl_int
         return loss, stats
 
     # ------------------------------------------------------------------

@@ -43,6 +43,14 @@ class Encoder(nn.Module):
     high_level_intention_size: int | None = None  # e.g. 45 for 2-level
     min_scale: float = 1e-4
 
+    def _maybe_sample(self, dist):
+        """Sample when a 'sample' rng stream is provided (actors), else the
+        mean (analytic learner paths). The reference always samples
+        (intention_network_base.py:160-166, TF implicit seeds)."""
+        if self.has_rng("sample"):
+            return dist.sample(self.make_rng("sample"))
+        return dist.mean
+
     @nn.compact
     def __call__(self, task_obs):
         x = task_obs
@@ -50,7 +58,7 @@ class Encoder(nn.Module):
             x = LayerNormMLP(self.layer_sizes, activate_final=True)(x)
             hl = NormalDiagHead(self.high_level_intention_size,
                                 min_scale=self.min_scale)(x)
-            x = hl.mean + hl.stddev * 0.0  # mid encoder consumes the mean
+            x = self._maybe_sample(hl)  # mid encoder consumes the hl latent
             x = LayerNormMLP(self.layer_sizes, activate_final=True)(x)
         else:
             x = LayerNormMLP(self.layer_sizes, activate_final=True)(x)
@@ -101,20 +109,23 @@ class IntentionPolicy(nn.Module):
                                layer_sizes=self.decoder_layers,
                                action_stddev=self.action_stddev)
 
-    def __call__(self, obs_flat, rng=None):
+    def __call__(self, obs_flat):
+        dist, _ = self.with_intention(obs_flat)
+        return dist
+
+    def with_intention(self, obs_flat):
+        """-> (action_dist, intention_dist). The intention latent is
+        sampled when a 'sample' rng is passed to apply (actor path),
+        otherwise the mean is decoded (analytic MPO losses)."""
         task_obs = obs_flat[..., :self.task_obs_size]
         ego_obs = obs_flat[..., self.task_obs_size:]
         intention = self.encoder(task_obs)
-        if rng is not None:
-            z = intention.sample(rng)
+        if self.has_rng("sample"):
+            z = intention.sample(self.make_rng("sample"))
         else:
             z = intention.mean
         return self.decoder(jnp.concatenate([z, ego_obs], axis=-1)), \
             intention
-
-    def action_dist(self, obs_flat):
-        dist, _ = self(obs_flat)
-        return dist
 
 
 def decoder_param_filter(params) -> dict:

@@ -136,6 +136,90 @@ class VisNetFly(nn.Module):
         return nn.Dense(self.out_features)(x)
 
 
+def obs_layout(example_obs: dict, task_keys: Sequence[str] = ()):
+    """Flat-vector layout of an observation dict.
+
+    Returns (keys, slices) where keys is the concatenation order — task
+    keys FIRST (sorted), then the rest (sorted), matching the reference's
+    separate_observation ordering (vnl_ray/agents/utils_intention.py) —
+    and slices maps key -> (start, size, shape) in the flattened vector.
+    Shapes exclude the leading batch axis (example obs is batched)."""
+    present_task = sorted(k for k in example_obs if k in set(task_keys))
+    rest = sorted(k for k in example_obs if k not in set(task_keys))
+    keys = present_task + rest
+    slices = {}
+    start = 0
+    for k in keys:
+        shape = tuple(example_obs[k].shape[1:]) or (1,)
+        size = int(np.prod(shape))
+        slices[k] = (start, size, shape)
+        start += size
+    return keys, slices
+
+
+class VisionPolicy(nn.Module):
+    """Policy with a convolutional eye front-end: the flat observation's
+    eye pixels run through VisNetFly, whose features replace the raw
+    pixels before the MLP policy (reference vis_net.py VisNetFly +
+    network_factory observation_network composition)."""
+    action_size: int
+    eye_slices: tuple          # ((start, size, (H, W)) left, ... right)
+    layer_sizes: Sequence[int] = (256, 256, 256)
+    vis_features: int = 8
+    init_scale: float = 0.7
+
+    @nn.compact
+    def __call__(self, obs):
+        (ls, lsz, lshape), (rs, rsz, rshape) = self.eye_slices
+        left = obs[..., ls:ls + lsz].reshape(obs.shape[:-1] + lshape)
+        right = obs[..., rs:rs + rsz].reshape(obs.shape[:-1] + rshape)
+        feat = VisNetFly(out_features=self.vis_features)(left, right)
+        rest = _drop_slices(obs, [(ls, lsz), (rs, rsz)])
+        x = jnp.concatenate([feat, rest], axis=-1)
+        x = LayerNormMLP(self.layer_sizes, activate_final=True)(x)
+        return NormalDiagHead(self.action_size,
+                              init_scale=self.init_scale)(x)
+
+
+class VisionCritic(nn.Module):
+    """Distributional critic with the same eye front-end."""
+    eye_slices: tuple
+    layer_sizes: Sequence[int] = (512, 512, 256)
+    vis_features: int = 8
+    vmin: float = -150.0
+    vmax: float = 150.0
+    num_atoms: int = 51
+
+    @nn.compact
+    def __call__(self, obs, action):
+        (ls, lsz, lshape), (rs, rsz, rshape) = self.eye_slices
+        left = obs[..., ls:ls + lsz].reshape(obs.shape[:-1] + lshape)
+        right = obs[..., rs:rs + rsz].reshape(obs.shape[:-1] + rshape)
+        feat = VisNetFly(out_features=self.vis_features)(left, right)
+        rest = _drop_slices(obs, [(ls, lsz), (rs, rsz)])
+        action = jnp.clip(action, -1.0, 1.0)
+        h = jnp.concatenate([feat, rest, action], axis=-1)
+        h = LayerNormMLP(self.layer_sizes, activate_final=True)(h)
+        logits = nn.Dense(self.num_atoms)(h)
+        values = jnp.linspace(self.vmin, self.vmax, self.num_atoms,
+                              dtype=logits.dtype)
+        return DiscreteValued(logits=logits, values=values)
+
+
+def _drop_slices(x, spans):
+    """Remove [start, start+size) spans from the last axis."""
+    spans = sorted(spans)
+    parts = []
+    pos = 0
+    for s, n in spans:
+        if s > pos:
+            parts.append(x[..., pos:s])
+        pos = s + n
+    if pos < x.shape[-1]:
+        parts.append(x[..., pos:])
+    return jnp.concatenate(parts, axis=-1)
+
+
 def make_policy_critic(action_size: int, obs_size: int,
                        policy_layers=(256, 256, 256),
                        critic_layers=(512, 512, 256),

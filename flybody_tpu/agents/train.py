@@ -6,6 +6,17 @@ with a single SPMD program: batched rollout -> device replay insert ->
 K learner updates, repeated. Rate limiting (samples_per_insert) becomes a
 deterministic updates-per-rollout count.
 
+Network modes mirror the reference factory switch (reference
+train_dmpo_ray.py + intention_network_factory.py + vis_net.py):
+  * "plain": MLP policy + distributional critic
+  * "intention": encoder-decoder policy with task-first obs ordering,
+    sampled intention latent, optional latent KL regularizer, and a
+    decoder that can be restored + frozen for transfer
+  * "vision": eye pixels routed through a conv net in both policy/critic
+
+Kickstarting loads a teacher policy and distills via KL (reference
+learning_dmpo.py:361-373).
+
 Multi-chip: shard envs + replay over the mesh 'env' axis with params
 replicated; XLA inserts the gradient allreduce. See flybody_tpu.parallel.
 """
@@ -13,16 +24,30 @@ replicated; XLA inserts the gradient allreduce. See flybody_tpu.parallel.
 from __future__ import annotations
 
 import dataclasses
-from typing import Any
+from typing import Any, Sequence
 
 import jax
 import jax.numpy as jnp
 
 from flybody_tpu.agents import replay as rp
-from flybody_tpu.agents.actors import RolloutConfig, make_rollout_fn
+from flybody_tpu.agents.actors import (RolloutConfig, init_rollout_tail,
+                                       make_rollout_fn)
 from flybody_tpu.agents.dmpo import DMPOConfig, DMPOLearner, TrainState
-from flybody_tpu.agents.networks import batch_concat, make_policy_critic
+from flybody_tpu.agents.networks import (DistributionalCritic, VisionCritic,
+                                         VisionPolicy, make_policy_critic,
+                                         obs_layout)
 from flybody_tpu.physics.types import pytree
+
+# default task-observation keys for intention-policy obs routing
+# (reference train_dmpo_ray.py separate_observation task prefixes)
+DEFAULT_TASK_KEYS = (
+    "ref_displacement", "ref_root_quat", "ref_rel_joints",
+    "ref_rel_bodies_pos_local", "ref_rel_root_quat",
+    "ref_ego_bodies_quats", "ref_appendages_pos", "task_input",
+    "task_logic", "origin", "clip_id",
+)
+
+EYE_KEYS = ("left_eye", "right_eye")
 
 
 @pytree(meta=())
@@ -32,6 +57,7 @@ class LoopState:
     replay: rp.ReplayState
     rng: jax.Array
     actor_steps: jax.Array
+    rollout_tail: Any
 
 
 @dataclasses.dataclass
@@ -43,6 +69,14 @@ class TrainerConfig:
     samples_per_insert: float = 32.0
     dmpo: DMPOConfig = dataclasses.field(default_factory=DMPOConfig)
     rollout: RolloutConfig = dataclasses.field(default_factory=RolloutConfig)
+    # network mode: "plain" | "intention" | "vision"
+    network: str = "plain"
+    task_obs_keys: Sequence[str] = DEFAULT_TASK_KEYS
+    intention_size: int = 60
+    high_level_intention_size: int | None = None
+    # transfer: freeze the decoder (restore separately via checkpoint)
+    freeze_decoder: bool = False
+    action_delay: int = 0
 
 
 class DMPOTrainer:
@@ -51,24 +85,75 @@ class DMPOTrainer:
     def __init__(self, env, cfg: TrainerConfig = TrainerConfig()):
         self.env = env
         self.cfg = cfg
-        # infer obs size from a concrete reset
+        # infer obs layout from a concrete reset
         state0 = jax.eval_shape(
             env.reset, jax.random.split(jax.random.PRNGKey(0), 1))
-        obs_size = int(sum(int(jnp.prod(jnp.asarray(x.shape or (1,))))
-                           for x in jax.tree.leaves(state0.obs)))
+        task_keys = tuple(cfg.task_obs_keys) if cfg.network == "intention" \
+            else ()
+        self.obs_keys, self.obs_slices = obs_layout(state0.obs, task_keys)
+        obs_size = sum(self.obs_slices[k][1] for k in self.obs_keys)
         self.obs_size = obs_size
         self.action_size = env.action_size
-        self.policy, self.critic, _ = make_policy_critic(
-            self.action_size, obs_size)
+        self.task_obs_size = sum(self.obs_slices[k][1] for k in self.obs_keys
+                                 if k in set(task_keys))
+        if cfg.network == "intention" and self.task_obs_size == 0:
+            # no task observations in this env: the encoder consumes the
+            # full observation (pure bottleneck autoencoding policy)
+            import warnings
+            warnings.warn("intention network: no task_obs_keys present in "
+                          "this env's observations; encoder sees all obs")
+            self.task_obs_size = obs_size
+
+        intention_apply = None
+        if cfg.network == "intention":
+            from flybody_tpu.agents.intention_networks import (
+                IntentionPolicy, freeze_decoder_tx)
+            self.policy = IntentionPolicy(
+                action_size=self.action_size,
+                task_obs_size=self.task_obs_size,
+                intention_size=cfg.intention_size,
+                high_level_intention_size=cfg.high_level_intention_size)
+            self.critic = DistributionalCritic()
+            intention_apply = (lambda p, o: self.policy.apply(
+                p, o, method=self.policy.with_intention))
+            tx_wrap = ((lambda params: freeze_decoder_tx(params))
+                       if cfg.freeze_decoder else None)
+        elif cfg.network == "vision":
+            eye_slices = tuple(self.obs_slices[k] for k in EYE_KEYS
+                               if k in self.obs_slices)
+            if len(eye_slices) != 2:
+                raise ValueError(
+                    f"vision network needs {EYE_KEYS} observations; "
+                    f"env has {sorted(self.obs_slices)}")
+            self.policy = VisionPolicy(action_size=self.action_size,
+                                       eye_slices=eye_slices)
+            self.critic = VisionCritic(eye_slices=eye_slices)
+            tx_wrap = None
+        else:
+            self.policy, self.critic, _ = make_policy_critic(
+                self.action_size, obs_size)
+            tx_wrap = None
+
         self.learner = DMPOLearner(self.policy, self.critic,
-                                   self.action_size, obs_size, cfg.dmpo)
+                                   self.action_size, obs_size, cfg.dmpo,
+                                   intention_apply=intention_apply,
+                                   policy_tx_wrapper=tx_wrap)
         cfg.rollout.unroll_length = cfg.unroll_length
         cfg.rollout.n_step = cfg.dmpo.n_step
         cfg.rollout.discount = cfg.dmpo.discount
-        self.rollout_fn = make_rollout_fn(env, self.policy.apply,
-                                          cfg.rollout)
-        windows = cfg.unroll_length - cfg.dmpo.n_step + 1
-        inserted = cfg.num_envs * windows
+
+        if cfg.network == "intention":
+            policy_apply = (lambda params, obs, key: self.policy.apply(
+                params, obs, rngs={"sample": key}))
+        else:
+            policy_apply = (lambda params, obs, key:
+                            self.policy.apply(params, obs))
+        self.rollout_fn = make_rollout_fn(
+            env, policy_apply, cfg.rollout, obs_keys=self.obs_keys,
+            action_delay=cfg.action_delay)
+        # with the cross-chunk tail every control step starts one n-step
+        # window: inserted = num_envs * unroll_length
+        inserted = cfg.num_envs * cfg.unroll_length
         # samples_per_insert semantics: every inserted transition is sampled
         # ~samples_per_insert times => updates = inserted * spi / batch.
         self.updates_per_iter = max(
@@ -81,11 +166,14 @@ class DMPOTrainer:
             jax.random.split(k_env, self.cfg.num_envs))
         example = self._example_transition()
         replay = rp.replay_init(self.cfg.replay_capacity, example)
+        tail = init_rollout_tail(self.cfg.rollout, self.cfg.num_envs,
+                                 self.obs_size, self.action_size)
         return LoopState(train=train, env_states=env_states, replay=replay,
                          rng=k_loop,
                          actor_steps=jnp.zeros((), jnp.int64)
                          if jax.config.read("jax_enable_x64")
-                         else jnp.zeros((), jnp.int32))
+                         else jnp.zeros((), jnp.int32),
+                         rollout_tail=tail)
 
     def _example_transition(self):
         from flybody_tpu.agents.dmpo import Transition
@@ -95,12 +183,40 @@ class DMPOTrainer:
             reward=jnp.zeros((1,)), discount=jnp.zeros((1,)),
             next_obs=jnp.zeros((1, self.obs_size)))
 
+    def load_teacher(self, teacher_params, epsilon: float):
+        """Enable kickstarting: distill from a frozen teacher policy
+        (reference learning_dmpo.py:361-373). Call before jitting."""
+        cfg = self.cfg.dmpo
+        teacher_apply = lambda obs: self.policy.apply(teacher_params, obs)
+        self.learner.cfg = dataclasses.replace(
+            cfg, kickstart_epsilon=epsilon, teacher_apply=teacher_apply)
+
+    def restore_decoder(self, train: TrainState, decoder_source_params):
+        """Transfer mode: copy decoder params from a donor policy into the
+        train state (online + target), typically combined with
+        cfg.freeze_decoder=True (reference learning_dmpo.py:236-243)."""
+        import flax
+
+        def graft(dst, src):
+            dflat = flax.traverse_util.flatten_dict(dst)
+            sflat = flax.traverse_util.flatten_dict(src)
+            for k, v in sflat.items():
+                if "decoder" in "/".join(map(str, k)) and k in dflat:
+                    dflat[k] = v
+            return flax.traverse_util.unflatten_dict(dflat)
+
+        return train.replace(
+            policy_params=graft(train.policy_params, decoder_source_params),
+            target_policy_params=graft(train.target_policy_params,
+                                       decoder_source_params))
+
     def train_iteration(self, loop: LoopState):
         """rollout -> insert -> updates. Pure; jit/pjit this."""
         cfg = self.cfg
         rng, k_roll = jax.random.split(loop.rng)
-        env_states, transitions, actor_metrics = self.rollout_fn(
-            loop.train.policy_params, loop.env_states, k_roll)
+        env_states, tail, transitions, actor_metrics = self.rollout_fn(
+            loop.train.policy_params, loop.env_states, loop.rollout_tail,
+            k_roll)
         replay = rp.replay_insert(loop.replay, transitions)
 
         def do_update(carry, _):
@@ -136,4 +252,5 @@ class DMPOTrainer:
                    "actor_steps": actor_steps,
                    "learner_steps": train.steps}
         return LoopState(train=train, env_states=env_states, replay=replay,
-                         rng=rng, actor_steps=actor_steps), metrics
+                         rng=rng, actor_steps=actor_steps,
+                         rollout_tail=tail), metrics

@@ -47,6 +47,19 @@ def restore_policy_only(path: str, train_state):
         target_policy_params=full.target_policy_params)
 
 
+def restore_policy_params(path: str):
+    """Restore just the policy params pytree from a checkpoint, without a
+    template (teacher loading for kickstarting / decoder donor for
+    transfer; reference learning_dmpo.py:213-243)."""
+    raw = _ckptr().restore(os.path.abspath(path))
+    node = raw
+    if isinstance(node, dict) and "train" in node:
+        node = node["train"]
+    if isinstance(node, dict) and "policy_params" in node:
+        node = node["policy_params"]
+    return node
+
+
 def latest(path: str) -> str | None:
     """Most recent ckpt_* directory under path, if any."""
     if not os.path.isdir(path):

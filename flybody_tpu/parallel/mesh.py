@@ -81,6 +81,12 @@ def loop_shardings(mesh: Mesh, loop_state, axis: str = "env"):
             storage=_shard_leading(mesh, loop_state.replay.storage, axis)),
         rng=NamedSharding(mesh, P()),
         actor_steps=NamedSharding(mesh, P()),
+        # rollout tail leaves are (n-1, B, ...): env batch on axis 1
+        rollout_tail=jax.tree.map(
+            lambda x: NamedSharding(
+                mesh, P(None, axis, *((None,) * (x.ndim - 2))))
+            if hasattr(x, "ndim") and x.ndim >= 2
+            else NamedSharding(mesh, P()), loop_state.rollout_tail),
     )
 
 

@@ -1,0 +1,188 @@
+"""Network-mode wiring tests: intention / vision / kickstart / transfer
++ the cross-chunk n-step adder fix.
+
+Reference semantics: intention_network_factory.py:17-76 (factory switch),
+learning_dmpo.py:361-385 (kickstart KL + intention/action KL),
+learning_dmpo.py:236-243 (decoder restore + freeze), acme adders
+(windows stream across rollout-chunk boundaries)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from flybody_tpu.agents.actors import RolloutConfig, nstep_from_trajectory
+from flybody_tpu.agents.dmpo import DMPOConfig
+from flybody_tpu.agents.train import DMPOTrainer, TrainerConfig
+
+
+# ------------------------------------------------- n-step chunk boundary
+
+def _synthetic_traj(T, B, obs, key):
+    ks = jax.random.split(key, 4)
+    return dict(
+        obs=jax.random.normal(ks[0], (T, B, obs)),
+        action=jax.random.normal(ks[1], (T, B, 2)),
+        reward=jax.random.normal(ks[2], (T, B)),
+        discount=jnp.ones((T, B)),
+        done=jax.random.bernoulli(ks[3], 0.15, (T, B)),
+        obs_after=jax.random.normal(ks[0], (T, B, obs)) + 1.0,
+        episode_return=jnp.zeros((T, B)),
+    )
+
+
+def test_nstep_chunked_with_tail_equals_unchunked():
+    """Processing a T=12 trajectory as two chunks with the (n-1)-step tail
+    carried across the boundary yields exactly the same windows as the
+    whole trajectory at once (the acme-adder streaming property; round-1
+    dropped the last n-1 starts of every chunk)."""
+    cfg = RolloutConfig(unroll_length=12, n_step=3)
+    T, B, obs = 12, 2, 4
+    traj = _synthetic_traj(T, B, obs, jax.random.PRNGKey(0))
+
+    whole = nstep_from_trajectory(traj, cfg)
+
+    half = lambda x, a, b: jax.tree.map(lambda v: v[a:b], x)
+    c1 = half(traj, 0, 6)
+    tail = jax.tree.map(lambda v: v[6 - (cfg.n_step - 1):6], traj)
+    c2 = jax.tree.map(lambda a, b: jnp.concatenate([a, b], 0), tail,
+                      half(traj, 6, 12))
+    w1 = nstep_from_trajectory(c1, cfg)
+    w2 = nstep_from_trajectory(c2, cfg)
+
+    # chunk1 starts 0..3, chunk2 (with tail) starts 4..9 -> all 10 starts
+    assert w1.obs.shape[0] + w2.obs.shape[0] == whole.obs.shape[0]
+    np.testing.assert_allclose(
+        np.concatenate([np.asarray(w1.reward), np.asarray(w2.reward)]),
+        np.asarray(whole.reward), rtol=1e-6)
+    np.testing.assert_allclose(
+        np.concatenate([np.asarray(w1.next_obs), np.asarray(w2.next_obs)]),
+        np.asarray(whole.next_obs), rtol=1e-6)
+
+
+# --------------------------------------------------- intention mode e2e
+
+@pytest.fixture(scope="module")
+def intention_trainer():
+    from flybody_tpu.fly_envs import template_task
+    env = template_task(time_limit=0.02)
+    cfg = TrainerConfig(
+        num_envs=4, unroll_length=6, replay_capacity=128,
+        min_replay_size=8, samples_per_insert=2.0,
+        network="intention", intention_size=8,
+        high_level_intention_size=6,
+        task_obs_keys=("world_zaxis",),  # arbitrary task split for test
+        dmpo=DMPOConfig(batch_size=8, n_step=3, num_samples=4,
+                        intention_kl_weight=1e-3))
+    trainer = DMPOTrainer(env, cfg)
+    loop = trainer.init(jax.random.PRNGKey(0))
+    return trainer, loop
+
+
+def test_intention_mode_trains(intention_trainer):
+    trainer, loop = intention_trainer
+    assert trainer.task_obs_size > 0
+    step = jax.jit(trainer.train_iteration)
+    for _ in range(2):
+        loop, metrics = step(loop)
+    assert "intention_kl" in metrics
+    for k, v in metrics.items():
+        assert np.all(np.isfinite(np.asarray(v))), k
+
+
+def test_intention_latent_sampling(intention_trainer):
+    """Actor path samples the latent: same obs, different keys -> different
+    action means (decoder consumes a sampled z); learner path (no rng) is
+    deterministic."""
+    trainer, loop = intention_trainer
+    obs = jnp.ones((3, trainer.obs_size))
+    p = loop.train.policy_params
+    d1 = trainer.policy.apply(p, obs, rngs={"sample": jax.random.PRNGKey(1)})
+    d2 = trainer.policy.apply(p, obs, rngs={"sample": jax.random.PRNGKey(2)})
+    assert not np.allclose(np.asarray(d1.mean), np.asarray(d2.mean))
+    d3 = trainer.policy.apply(p, obs)
+    d4 = trainer.policy.apply(p, obs)
+    np.testing.assert_array_equal(np.asarray(d3.mean), np.asarray(d4.mean))
+
+
+def test_kickstart_mode(intention_trainer):
+    trainer, loop = intention_trainer
+    trainer.load_teacher(jax.tree.map(jnp.copy, loop.train.policy_params),
+                         epsilon=0.1)
+    step = jax.jit(trainer.train_iteration)
+    loop2, metrics = step(loop)
+    assert "kickstart_kl" in metrics
+    assert np.isfinite(float(metrics["kickstart_kl"]))
+    # restore the un-kickstarted config for other tests
+    import dataclasses
+    trainer.learner.cfg = dataclasses.replace(
+        trainer.learner.cfg, kickstart_epsilon=0.0, teacher_apply=None)
+
+
+def test_transfer_decoder_restore_and_freeze():
+    from flybody_tpu.fly_envs import template_task
+    env = template_task(time_limit=0.02)
+    cfg = TrainerConfig(
+        num_envs=4, unroll_length=6, replay_capacity=128,
+        min_replay_size=8, samples_per_insert=2.0,
+        network="intention", intention_size=8, freeze_decoder=True,
+        task_obs_keys=("world_zaxis",),
+        dmpo=DMPOConfig(batch_size=8, n_step=3, num_samples=4))
+    trainer = DMPOTrainer(env, cfg)
+    loop = trainer.init(jax.random.PRNGKey(0))
+
+    # donor with recognizable decoder params
+    donor = jax.tree.map(lambda x: jnp.full_like(x, 0.123),
+                         loop.train.policy_params)
+    train = trainer.restore_decoder(loop.train, donor)
+    import flax
+    flat = flax.traverse_util.flatten_dict(train.policy_params)
+    dec = {k: v for k, v in flat.items()
+           if "decoder" in "/".join(map(str, k))}
+    assert dec and all(np.allclose(np.asarray(v), 0.123)
+                       for v in dec.values())
+    enc = {k: v for k, v in flat.items() if k not in dec}
+    assert not all(np.allclose(np.asarray(v), 0.123)
+                   for v in enc.values())
+
+    # frozen decoder does not move over updates; encoder does
+    loop = loop.replace(train=train)
+    step = jax.jit(trainer.train_iteration)
+    for _ in range(3):
+        loop, _ = step(loop)
+    flat2 = flax.traverse_util.flatten_dict(loop.train.policy_params)
+    for k, v in flat2.items():
+        if "decoder" in "/".join(map(str, k)):
+            np.testing.assert_array_equal(np.asarray(v),
+                                          np.asarray(flat[k]))
+    moved = any(not np.allclose(np.asarray(flat2[k]), np.asarray(flat[k]))
+                for k in enc)
+    assert moved
+
+
+# ------------------------------------------------------------ vision net
+
+def test_vision_policy_critic_shapes():
+    from flybody_tpu.agents.networks import VisionCritic, VisionPolicy
+
+    H = W = 8
+    eye = H * W
+    rest = 11
+    obs_size = 2 * eye + rest
+    eye_slices = ((0, eye, (H, W)), (eye, eye, (H, W)))
+    pol = VisionPolicy(action_size=5, eye_slices=eye_slices,
+                       layer_sizes=(32, 32))
+    crit = VisionCritic(eye_slices=eye_slices, layer_sizes=(32, 32))
+    obs = jnp.ones((3, obs_size))
+    act = jnp.zeros((3, 5))
+    pp = pol.init(jax.random.PRNGKey(0), obs)
+    dist = pol.apply(pp, obs)
+    assert dist.mean.shape == (3, 5)
+    cp = crit.init(jax.random.PRNGKey(1), obs, act)
+    z = crit.apply(cp, obs, act)
+    assert z.logits.shape == (3, 51)
+    # conv params exist (the eye front-end is wired in)
+    names = "/".join("/".join(map(str, k)) for k in
+                     __import__("flax").traverse_util.flatten_dict(pp))
+    assert "Conv" in names

@@ -32,13 +32,21 @@ TASKS = {
     "template": "flybody_tpu.fly_envs:template_task",
     "walk_imitation": "flybody_tpu.fly_envs:walk_imitation",
     "flight_imitation": "flybody_tpu.fly_envs:flight_imitation",
+    "vision_guided_flight": "flybody_tpu.fly_envs:vision_guided_flight",
+    "rodent_escape_bowl": "flybody_tpu.rodent_envs:rodent_escape_bowl",
+    "rodent_run_gaps": "flybody_tpu.rodent_envs:rodent_run_gaps",
+    "rodent_maze_forage": "flybody_tpu.rodent_envs:rodent_maze_forage",
+    "rodent_two_touch": "flybody_tpu.rodent_envs:rodent_two_touch",
+    "rodent_walk_imitation":
+        "flybody_tpu.rodent_envs:rodent_walk_imitation",
+    "walk_humanoid": "flybody_tpu.rodent_envs:walk_humanoid",
 }
 
 
-def make_env(name: str):
+def make_env(name: str, **kwargs):
     mod_name, fn_name = TASKS[name].split(":")
     import importlib
-    return getattr(importlib.import_module(mod_name), fn_name)()
+    return getattr(importlib.import_module(mod_name), fn_name)(**kwargs)
 
 
 def main():
@@ -56,9 +64,28 @@ def main():
     p.add_argument("--ckpt-dir", default="")
     p.add_argument("--ckpt-minutes", type=float, default=30.0)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--network", default="plain",
+                   choices=("plain", "intention", "vision"),
+                   help="network factory mode (reference "
+                        "intention_network_factory / vis_net)")
+    p.add_argument("--intention-size", type=int, default=60)
+    p.add_argument("--high-level-intention-size", type=int, default=0)
+    p.add_argument("--intention-kl-weight", type=float, default=0.0)
+    p.add_argument("--kickstart-ckpt", default="",
+                   help="teacher policy checkpoint for kickstarting")
+    p.add_argument("--kickstart-epsilon", type=float, default=0.01)
+    p.add_argument("--transfer-ckpt", default="",
+                   help="donor checkpoint: restore decoder + freeze "
+                        "(reference bowl-transfer config)")
+    p.add_argument("--config", default="",
+                   help="YAML run config (overrides CLI defaults; "
+                        "reference vnl_ray/config/*.yaml)")
     p.add_argument("--test", action="store_true",
                    help="small smoke configuration")
     args = p.parse_args()
+    if args.config:
+        from flybody_tpu.utils.config import apply_yaml_config
+        apply_yaml_config(args, args.config)
 
     if args.test:
         args.num_envs = max(8, jax.device_count())
@@ -75,12 +102,26 @@ def main():
         replay_capacity=args.replay_capacity,
         min_replay_size=args.min_replay_size,
         samples_per_insert=args.samples_per_insert,
-        dmpo=DMPOConfig(batch_size=args.batch_size, n_step=args.n_step))
+        network=args.network,
+        intention_size=args.intention_size,
+        high_level_intention_size=(args.high_level_intention_size or None),
+        freeze_decoder=bool(args.transfer_ckpt),
+        dmpo=DMPOConfig(batch_size=args.batch_size, n_step=args.n_step,
+                        intention_kl_weight=args.intention_kl_weight))
     trainer = DMPOTrainer(env, cfg)
+    if args.kickstart_ckpt:
+        teacher = ckpt.restore_policy_params(args.kickstart_ckpt)
+        trainer.load_teacher(teacher, args.kickstart_epsilon)
     logger = make_default_logger("learner", save_csv=bool(args.ckpt_dir),
                                  csv_dir=args.ckpt_dir or "logs")
 
     loop = trainer.init(jax.random.PRNGKey(args.seed))
+    if args.transfer_ckpt:
+        donor = ckpt.restore_policy_params(args.transfer_ckpt)
+        loop = loop.replace(
+            train=trainer.restore_decoder(loop.train, donor))
+        print(f"transfer: decoder restored from {args.transfer_ckpt} "
+              "and frozen")
     mesh = make_mesh()
     loop = shard_loop_state(mesh, loop)
     sh = loop_shardings(mesh, loop)
