@@ -1,5 +1,8 @@
 """Oracle test for adhesion actuators (body transmission via contacts)."""
 
+import pytest
+
+pytestmark = pytest.mark.slow
 import mujoco
 import numpy as np
 

@@ -80,6 +80,7 @@ def intention_trainer():
     return trainer, loop
 
 
+@pytest.mark.slow
 def test_intention_mode_trains(intention_trainer):
     trainer, loop = intention_trainer
     assert trainer.task_obs_size > 0
@@ -91,6 +92,7 @@ def test_intention_mode_trains(intention_trainer):
         assert np.all(np.isfinite(np.asarray(v))), k
 
 
+@pytest.mark.slow
 def test_intention_latent_sampling(intention_trainer):
     """Actor path samples the latent: same obs, different keys -> different
     action means (decoder consumes a sampled z); learner path (no rng) is
@@ -106,6 +108,7 @@ def test_intention_latent_sampling(intention_trainer):
     np.testing.assert_array_equal(np.asarray(d3.mean), np.asarray(d4.mean))
 
 
+@pytest.mark.slow
 def test_kickstart_mode(intention_trainer):
     trainer, loop = intention_trainer
     trainer.load_teacher(jax.tree.map(jnp.copy, loop.train.policy_params),
@@ -120,6 +123,7 @@ def test_kickstart_mode(intention_trainer):
         trainer.learner.cfg, kickstart_epsilon=0.0, teacher_apply=None)
 
 
+@pytest.mark.slow
 def test_transfer_decoder_restore_and_freeze():
     from flybody_tpu.fly_envs import template_task
     env = template_task(time_limit=0.02)

@@ -5,6 +5,8 @@ import mujoco
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 import jax.numpy as jnp
 
 from flybody_tpu.physics import forward as F

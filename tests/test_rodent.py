@@ -62,6 +62,7 @@ def tracking_env():
     return rodent_walk_imitation(time_limit=1.0)
 
 
+@pytest.mark.slow
 def test_rodent_tracking_reset_step(tracking_env):
     env = tracking_env
     B = 2
@@ -83,6 +84,7 @@ def test_rodent_tracking_reset_step(tracking_env):
     assert (r > 0.2).all()
 
 
+@pytest.mark.slow
 def test_tracking_termination_on_divergence(tracking_env):
     env = tracking_env
     states = env.reset(jax.random.split(jax.random.PRNGKey(1), 1))
@@ -96,6 +98,7 @@ def test_tracking_termination_on_divergence(tracking_env):
     assert float(states.discount[0]) == 0.0
 
 
+@pytest.mark.slow
 def test_synthetic_clip_features_consistent(tracking_env):
     task = tracking_env.task
     clips = task.clips
@@ -110,6 +113,7 @@ def test_synthetic_clip_features_consistent(tracking_env):
 
 # ------------------------------------------------------------- RL tasks
 
+@pytest.mark.slow
 def test_run_gaps_env():
     from flybody_tpu.rodent_envs import rodent_run_gaps
     env = rodent_run_gaps(time_limit=0.5)
@@ -137,6 +141,7 @@ def test_escape_reward_math():
     assert abs(esc - 0.05) < 1e-6
 
 
+@pytest.mark.slow
 def test_two_touch_state_machine():
     from flybody_tpu.rodent_envs import rodent_two_touch
     env = rodent_two_touch(time_limit=0.5)

@@ -109,7 +109,8 @@ def test_intention_network_shapes():
                           decoder_layers=(32,))
     obs = jnp.zeros((4, 50))
     params = net.init(jax.random.PRNGKey(0), obs)
-    dist, intention = net.apply(params, obs)
+    dist, intention = net.apply(params, obs,
+                                method=net.with_intention)
     assert dist.mean.shape == (4, 12)
     assert intention.mean.shape == (4, 8)
 
