@@ -273,6 +273,8 @@ def load_hdf5_clips(model: Model, walker, path: str,
     with h5py.File(path, "r") as f:
         for key in f.keys():
             g = f[key]
+            if not isinstance(g, h5py.Group) or key == "id2name":
+                continue
             if "qpos" in g:
                 qp, qv = np.asarray(g["qpos"]), np.asarray(g["qvel"])
             elif "walkers" in g:
