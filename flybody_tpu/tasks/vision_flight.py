@@ -23,6 +23,7 @@ from flybody_tpu.envs.walker import FlyWalker
 from flybody_tpu.math import quaternions as mq
 from flybody_tpu.models import fruitfly as ff
 from flybody_tpu.ops import raycast
+from flybody_tpu.physics import types as T
 from flybody_tpu.physics.types import Data, Model, pytree
 from flybody_tpu.tasks import arenas
 from flybody_tpu.tasks import constants as C
@@ -78,6 +79,17 @@ class VisionFlightWBPG(Task):
         self.target_zaxis = jnp.asarray(
             [np.sin(theta), 0.0, np.cos(theta)], jnp.float32)
         self.rays = raycast.camera_rays(150.0, eye_size, eye_size)
+        # primitive geoms the eyes see (SURVEY §7 delta 5: self-occlusion
+        # by the fly's own body + any obstacle geoms, not terrain only):
+        # the largest non-terrain geoms bound the per-pixel cost.
+        gt = np.asarray(model.geom_type)
+        gs = np.asarray(model.geom_size)
+        prim = np.nonzero((gt != T.GEOM_PLANE) & (gt != T.GEOM_HFIELD))[0]
+        if len(prim):
+            order = np.argsort(-gs[prim].max(axis=-1))
+            prim = prim[order[:16]]
+        self.scene_cast, self._has_scene = raycast.make_scene_raycaster(
+            model, prim)
         # hover orientation: identity-yaw body pitched at BODY_PITCH_ANGLE
         self.init_quat = np.array(
             [np.cos(-theta / 2), 0.0, np.sin(-theta / 2), 0.0], np.float32)
@@ -139,10 +151,12 @@ class VisionFlightWBPG(Task):
                           ("right_eye", self.eye_ids[1])):
             if cam is None:
                 continue
-            cam_pos = data.site_xpos[0] * 0  # placeholder replaced below
             # camera world pose from its body (head) frame
             cam_pos, cam_mat = self._camera_pose(model, data, cam)
-            obs[name] = raycast.render_eye(cam_pos, cam_mat, self.rays, hfn)
+            obs[name] = raycast.render_eye(
+                cam_pos, cam_mat, self.rays, hfn,
+                scene_cast=self.scene_cast if self._has_scene else None,
+                geom_xpos=data.geom_xpos, geom_xmat=data.geom_xmat)
         return obs
 
     def _camera_pose(self, model: Model, data: Data, cam_id: int):
