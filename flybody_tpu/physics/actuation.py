@@ -69,107 +69,62 @@ def _slot_bodies(m: Model):
 _ADH_CACHE: dict = {}
 
 
-def _adhesion_plan(m: Model):
-    """Static flattened plan for ALL adhesion actuators: contact slots and
-    the sparse (slot, dof, sign) support triplets of the normal-direction
-    jacobian, concatenated with per-actuator segment ids so the runtime is
-    a single batched gather/scatter pass (not a per-actuator loop)."""
-    key = id(m.actuator_trnid)
-    if key in _ADH_CACHE:
-        return _ADH_CACHE[key]
-    trntype = np.asarray(m.actuator_trntype)
-    body_acts = np.nonzero(trntype == T.TRN_BODY)[0]
-    slot_b1, slot_b2 = _slot_bodies(m)
-    bdm = np.asarray(m.body_dof_mask)
-    acts, slot_list, slot_seg = [], [], []
-    tri_s, tri_v, tri_sign, tri_seg = [], [], [], []
-    for u in body_acts:
-        b = int(np.asarray(m.actuator_trnid)[u, 0])
-        slots = np.nonzero((slot_b1 == b) | (slot_b2 == b))[0]
-        if len(slots) == 0:
-            continue
-        seg = len(acts)
-        acts.append(int(u))
-        for s in slots:
-            slot_list.append(int(s))
-            slot_seg.append(seg)
-            m1 = bdm[slot_b1[s]]
-            m2 = bdm[slot_b2[s]]
-            for v in np.nonzero(m1 | m2)[0]:
-                sign = float(m2[v]) - float(m1[v])
-                if sign != 0.0:
-                    tri_s.append(int(s)); tri_v.append(int(v))
-                    tri_sign.append(sign); tri_seg.append(seg)
-    plan = None
-    if acts:
-        plan = dict(
-            acts=np.asarray(acts, np.int32),
-            slots=np.asarray(slot_list, np.int32),
-            slot_seg=np.asarray(slot_seg, np.int32),
-            tri_s=np.asarray(tri_s, np.int32),
-            tri_v=np.asarray(tri_v, np.int32),
-            tri_sign=np.asarray(tri_sign, np.float64),
-            tri_seg=np.asarray(tri_seg, np.int32),
-        )
-    _ADH_CACHE[key] = plan
-    return plan
+def _adhesion_acts(m: Model):
+    """Static (actuator id, target body id) pairs of adhesion actuators."""
+    key = T.static_key(m.actuator_trnid, m.actuator_trntype)
+    if key not in _ADH_CACHE:
+        trntype = np.asarray(m.actuator_trntype)
+        acts = np.nonzero(trntype == T.TRN_BODY)[0]
+        bodies = np.asarray(m.actuator_trnid)[acts, 0]
+        _ADH_CACHE[key] = (acts.astype(np.int32), bodies.astype(np.int32))
+    return _ADH_CACHE[key]
 
 
-def adhesion_qfrc(m: Model, d: Data, force: jnp.ndarray) -> jnp.ndarray:
+def adhesion_qfrc(m: Model, d: Data, force: jnp.ndarray,
+                  efc=None) -> jnp.ndarray:
     """qfrc (nv, B) contribution of adhesion actuators given their scalar
     forces (nu, B). Matches mj_transmission mjTRN_BODY semantics: moment =
-    -(mean over active contacts of the normal jacobian row) * gear.
+    -(mean over active contacts of the target body of the contact-normal
+    jacobian row) * gear.
 
-    Triple-product form: n_s . jacp(v) = base_v . n_s + ang_v . (p_s x n_s)
-    — everything is computed from SLOT-sized (S ~ 50) and dof-sized arrays
-    with one (S, nv) static signed support mask; nothing triplet-sized
-    (S x supports) is ever materialized (round-2 trace: the triplet
-    gathers were ~20% of the whole substep)."""
+    The normal jacobian rows are EXACTLY the d=0 rows of the constraint
+    groups' Jacobians, which forward() assembles once per substep — so
+    adhesion reduces to per-row membership masks (body-id compares on the
+    selected contacts) and one (Ksum, nv, B) contraction; nothing is
+    re-derived from candidate-slot arrays."""
     qfrc = jnp.zeros_like(d.qvel)
-    plan = _adhesion_plan(m)
-    if plan is None or m.ncon_max == 0:
+    acts, bodies = _adhesion_acts(m)
+    if len(acts) == 0 or m.ncon_max == 0:
         return qfrc
     dtype = d.qpos.dtype
     con = d.contact
-    nact = len(plan["acts"])
-    slots, slot_seg = plan["slots"], plan["slot_seg"]
-    S = len(slots)
+    if efc is None:
+        from flybody_tpu.physics import constraint as C
+        efc = C.make_efc(m, d)
+    _, groups = efc
+    if not groups:
+        return qfrc
+    jac_n = jnp.concatenate([g.jac[:, 0] for g in groups],
+                            axis=0)                         # (Ksum, nv, B)
 
-    # per-slot quantities (S, 3, B)
-    pos_s = con.pos[slots]
-    n_s = con.frame[slots][:, 0]
-    w_s = bq.cross(pos_s, n_s)
-    active = (con.dist[slots] < m.con_margin[slots, None]).astype(dtype)
-    count = jnp.zeros((nact, active.shape[-1]),
-                      dtype).at[slot_seg].add(active)          # (nact, B)
+    active = (con.dist < con.marginfull).astype(dtype)      # (Ksum, B)
+    # membership of each selected contact in each actuator's body (either
+    # side of the pair), matching the static slot-set semantics of
+    # MuJoCo's adhesion transmission
+    bod = jnp.asarray(bodies, jnp.int32)[:, None, None]     # (nact, 1, 1)
+    member = ((con.b1[None] == bod) | (con.b2[None] == bod)
+              ).astype(dtype)                               # (nact, Ksum, B)
+    count = jnp.sum(member * active[None], axis=1)          # (nact, B)
 
-    # per-dof quantities
-    root_of_dof = np.asarray(m.body_rootid)[np.asarray(m.dof_bodyid)]
-    ang = d.cdof[:, :3]                                        # (nv, 3, B)
-    base = d.cdof[:, 3:] - bq.cross(ang, d.subtree_com[root_of_dof])
-
-    # static signed support mask (S, nv): (m2 - m1)[v] per slot
-    key = ("signmask", id(m.actuator_trnid))
-    if key not in _ADH_CACHE:
-        slot_b1, slot_b2 = _slot_bodies(m)
-        bdm = np.asarray(m.body_dof_mask).astype(np.float64)
-        sm = bdm[slot_b2[slots]] - bdm[slot_b1[slots]]         # (S, nv)
-        _ADH_CACHE[key] = sm
-    signmask = jnp.asarray(_ADH_CACHE[key], dtype)
-
-    gain = m.actuator_gear[plan["acts"], 0]                    # (nact,)
+    gain = m.actuator_gear[acts, 0]                         # (nact,)
     scale = jnp.where(count > 0,
                       -gain[:, None] / jnp.maximum(count, 1.0),
-                      0.0) * force[plan["acts"]]               # (nact, B)
-    coeff = active * scale[slot_seg]                           # (S, B)
-
-    # qfrc_v = sum_s signmask[s,v] coeff[s] (base_v . n_s + ang_v . w_s)
-    jn = (jnp.einsum("vcB,scB->svB", base, n_s)
-          + jnp.einsum("vcB,scB->svB", ang, w_s))              # (S, nv, B)
-    return qfrc + jnp.einsum("sv,svB,sB->vB", signmask, jn, coeff)
+                      0.0) * force[acts]                    # (nact, B)
+    coeff = jnp.sum(member * scale[:, None, :], axis=0) * active  # (Ksum, B)
+    return qfrc + jnp.einsum("kB,kvB->vB", coeff, jac_n)
 
 
-def actuation(m: Model, d: Data) -> Data:
+def actuation(m: Model, d: Data, efc=None) -> Data:
     """mj_fwdActuation: actuator forces -> qfrc_actuator."""
     if m.nu == 0:
         return d.replace(qfrc_actuator=jnp.zeros_like(d.qvel))
@@ -224,5 +179,5 @@ def actuation(m: Model, d: Data) -> Data:
                                               * force[tids])
         qfrc = qfrc + K.ten_moment_apply(m, d, ten_frc)
 
-    qfrc = qfrc + adhesion_qfrc(m, d, force)
+    qfrc = qfrc + adhesion_qfrc(m, d, force, efc=efc)
     return d.replace(actuator_force=force, qfrc_actuator=qfrc)

@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import numpy as np
 
+import jax
 import jax.numpy as jnp
 
 from flybody_tpu.math import bquat as bq
@@ -362,10 +363,9 @@ def _dispatch(m: Model, t1: int, t2: int):
     raise NotImplementedError(f"collision pair {(t1, t2)}")
 
 
-def collision(m: Model, d: Data) -> Data:
-    """Narrowphase over all static candidate pairs -> contact slots."""
-    if m.ncon_max == 0:
-        return d
+def _narrowphase(m: Model, d: Data):
+    """All candidate pairs -> per-slot (dist (ncon, B), pos (ncon, 3, B),
+    normal (ncon, 3, B)). No frames: those are built post-selection."""
     from flybody_tpu.physics.io_mj import _PAIR_NCON
 
     g1s = np.asarray(m.pair_geom1)
@@ -385,7 +385,7 @@ def collision(m: Model, d: Data) -> Data:
     ncon = m.ncon_max
     dist = jnp.full((ncon, B), 1e10, dtype=dtype)
     pos = jnp.zeros((ncon, 3, B), dtype=dtype)
-    frame = jnp.zeros((ncon, 3, 3, B), dtype=dtype)
+    nrm = jnp.zeros((ncon, 3, B), dtype=dtype).at[:, 2].set(1.0)
 
     for (t1, t2), pair_idx in groups.items():
         fn = _dispatch(m, t1, t2)
@@ -398,12 +398,100 @@ def collision(m: Model, d: Data) -> Data:
         S2 = m.geom_size[pg2][..., None].astype(dtype)
         dd, pp, nn = fn(p1, M1, S1, p2, M2, S2)
         # dd (P, k, B), pp/nn (P, k, 3, B)
-        ff = _make_frame(nn.reshape(-1, 3, B))
         slots = np.concatenate([np.arange(slot_of_pair[pi],
                                           slot_of_pair[pi] + k)
                                 for pi in pair_idx])
         dist = dist.at[slots].set(dd.reshape(-1, B))
         pos = pos.at[slots].set(pp.reshape(-1, 3, B))
-        frame = frame.at[slots].set(ff)
+        nrm = nrm.at[slots].set(nn.reshape(-1, 3, B))
 
-    return d.replace(contact=Contact(dist=dist, pos=pos, frame=frame))
+    return dist, pos, nrm
+
+
+def _slot_table(m: Model, dtype):
+    """(ncon, 7) traced per-slot static solver params:
+    [solref0, solref1, mu, invw, includemargin, b1, b2] plus the (ncon, 5)
+    solimp block. Traced (not numpy) so solref/solimp stay randomizable."""
+    from flybody_tpu.physics.actuation import _slot_bodies
+    b1s, b2s = _slot_bodies(m)
+    invw = (m.body_invweight0[b1s, 0] + m.body_invweight0[b2s, 0])
+    cols = jnp.stack([
+        m.con_solref[:, 0], m.con_solref[:, 1],
+        m.con_friction[:, 0], invw, m.con_includemargin, m.con_margin,
+        jnp.asarray(b1s, dtype=m.con_includemargin.dtype),
+        jnp.asarray(b2s, dtype=m.con_includemargin.dtype),
+    ], axis=1).astype(dtype)
+    return cols, m.con_solimp.astype(dtype)
+
+
+def collision(m: Model, d: Data) -> Data:
+    """Narrowphase + top-K active-island selection -> selected Contact.
+
+    Selection is per condim group (static layout from constraint.efc_meta)
+    by effective distance (dist - includemargin). All per-env row moves use
+    one-hot einsum contractions: contractions against B-independent static
+    tables compile to MXU matmuls, and contractions against (ncand, c, B)
+    payloads stream the candidate arrays exactly once.
+    """
+    if m.ncon_max == 0:
+        return d
+    from flybody_tpu.physics.constraint import _kbi, efc_meta
+
+    meta = efc_meta(m)
+    dtype = d.qpos.dtype
+    B = d.qpos.shape[-1]
+    dist_all, pos_all, nrm_all = _narrowphase(m, d)
+    table, solimp_t = _slot_table(m, dtype)
+    con_dim = np.asarray(m.con_dim)
+    incmargin = m.con_includemargin.astype(dtype)
+
+    sel_l, dist_l, pos_l, nrm_l, stat_l, simp_l = [], [], [], [], [], []
+    for cd, K in meta.groups:
+        slots = np.nonzero(con_dim == cd)[0]
+        dist_g = dist_all[slots]
+        if len(slots) > K:
+            eff = dist_g - incmargin[slots][:, None]
+            _, top = jax.lax.top_k(-eff.T, K)       # (B, K)
+            sel_local = top.T                       # (K, B)
+            oh = (sel_local[:, None, :]
+                  == jnp.arange(len(slots))[None, :, None]).astype(dtype)
+            dist_l.append(jnp.einsum("ksB,sB->kB", oh, dist_g))
+            pos_l.append(jnp.einsum("ksB,scB->kcB", oh, pos_all[slots]))
+            nrm_l.append(jnp.einsum("ksB,scB->kcB", oh, nrm_all[slots]))
+            stat_l.append(jnp.einsum("ksB,sc->kcB", oh, table[slots]))
+            simp_l.append(jnp.einsum("ksB,sc->kcB", oh, solimp_t[slots]))
+            sel_l.append(jnp.asarray(slots, jnp.int32)[sel_local])
+        else:
+            dist_l.append(dist_g)
+            pos_l.append(pos_all[slots])
+            nrm_l.append(nrm_all[slots])
+            stat_l.append(jnp.broadcast_to(table[slots][..., None],
+                                           (len(slots), 8, B)))
+            simp_l.append(jnp.broadcast_to(solimp_t[slots][..., None],
+                                           (len(slots), 5, B)))
+            sel_l.append(jnp.broadcast_to(
+                jnp.asarray(slots, jnp.int32)[:, None], (len(slots), B)))
+
+    sel = jnp.concatenate(sel_l, axis=0)
+    dist = jnp.concatenate(dist_l, axis=0)
+    pos = jnp.concatenate(pos_l, axis=0)
+    nrm = jnp.concatenate(nrm_l, axis=0)
+    stat = jnp.concatenate(stat_l, axis=0)          # (Ksum, 8, B)
+    simp = jnp.concatenate(simp_l, axis=0)          # (Ksum, 5, B)
+
+    mu = stat[:, 2]
+    invw = stat[:, 3]
+    margin = stat[:, 4]
+    marginfull = stat[:, 5]
+    b1 = jnp.round(stat[:, 6]).astype(jnp.int32)
+    b2 = jnp.round(stat[:, 7]).astype(jnp.int32)
+    pos_c = dist - margin
+    k_, b_, imp = _kbi((stat[:, 0], stat[:, 1]),
+                       tuple(simp[:, i] for i in range(5)), pos_c)
+    R = jnp.maximum((1.0 - imp) / imp * invw, 1e-12)
+    frame = _make_frame(nrm)
+
+    return d.replace(contact=Contact(
+        sel=sel, dist=dist, pos=pos, frame=frame, k=k_, b=b_, R=R,
+        mu=mu, invw=invw, margin=margin, marginfull=marginfull,
+        b1=b1, b2=b2))

@@ -85,7 +85,9 @@ _META_CACHE: dict = {}
 
 
 def efc_meta(m: Model) -> EfcMeta:
-    key = id(m.con_dim)
+    key = T.static_key(m.con_dim, m.jnt_limited, m.jnt_type,
+                       m.jnt_qposadr, m.jnt_dofadr,
+                       dict(m.con_sel) if m.con_sel else {})
     if key in _META_CACHE:
         return _META_CACHE[key]
     jl = np.asarray(m.jnt_limited, dtype=bool)
@@ -168,17 +170,16 @@ def _limit_rows(m: Model, d: Data, meta: EfcMeta) -> Limits | None:
 
 
 def _contact_groups(m: Model, d: Data, meta: EfcMeta) -> list[ConGroup]:
+    """Constraint rows from the SELECTED contacts (collision() already did
+    top-K island selection and solref/solimp evaluation): pure static row
+    slicing + Jacobian assembly; the only per-env index use is the one-hot
+    body-membership contraction, which maps onto the MXU."""
     if m.ncon_max == 0:
         return []
-    from flybody_tpu.physics.actuation import _slot_bodies
-
     dtype = d.qpos.dtype
     B = d.qpos.shape[-1]
-    slot_b1, slot_b2 = _slot_bodies(m)
-    bdm = np.asarray(m.body_dof_mask)
     con = d.contact
-    con_dim = np.asarray(m.con_dim)
-    eff_dist = con.dist - m.con_includemargin[:, None].astype(dtype)
+    maskd = jnp.asarray(np.asarray(m.body_dof_mask), dtype)   # (nbody, nv)
 
     root_of_dof = np.asarray(m.body_rootid)[np.asarray(m.dof_bodyid)]
     comroot = d.subtree_com[root_of_dof]       # (nv, 3, B)
@@ -187,38 +188,26 @@ def _contact_groups(m: Model, d: Data, meta: EfcMeta) -> list[ConGroup]:
     base = lin - bq.cross(ang, comroot)        # (nv, 3, B): k-independent
 
     out = []
+    off = 0
     for cd, K in meta.groups:
-        slots = np.nonzero(con_dim == cd)[0]
-        sd = eff_dist[slots]                   # (ncand, B)
-        if len(slots) > K:
-            _, top = jax.lax.top_k(-sd.T, K)   # (B, K)
-            sel_local = top.T                  # (K, B)
-        else:
-            sel_local = jnp.broadcast_to(
-                jnp.arange(len(slots))[:, None], (len(slots), B))
-            K = len(slots)
-        sel = jnp.asarray(slots)[sel_local]    # (K, B) global slot ids
-        pos_c = jnp.take_along_axis(sd, sel_local, axis=0)   # (K, B)
-        # ONE packed per-slot param gather instead of nine separate ones
-        packed = jnp.concatenate([
-            m.con_solref, m.con_solimp, m.con_friction[:, :1],
-            m.body_invweight0[slot_b1, 0][:, None]
-            + m.body_invweight0[slot_b2, 0][:, None]], axis=1)  # (ncon, 9)
-        pp = packed[sel]                       # (K, B, 9)
-        solref = (pp[..., 0], pp[..., 1])
-        solimp = tuple(pp[..., 2 + i] for i in range(5))
-        mu = pp[..., 7]                        # (K, B)
-        invw = pp[..., 8]
-        k_, b_, imp = _kbi(solref, solimp, pos_c)
+        sl = slice(off, off + K)
+        off += K
+        sel = con.sel[sl]
+        pos_c = con.dist[sl] - con.margin[sl]  # (K, B)
+        mu = con.mu[sl]
+        invw = con.invw[sl]
+        R_n = con.R[sl]
+        k_ = con.k[sl]
+        b_ = con.b[sl]
+        cpos = con.pos[sl]
+        cframe = con.frame[sl]
 
-        cpos = jnp.take_along_axis(con.pos, sel[:, None, :], axis=0)
-        cframe = jnp.take_along_axis(con.frame, sel[:, None, None, :],
-                                     axis=0)   # (K, 3, 3, B)
-        b1 = jnp.asarray(slot_b1)[sel]         # (K, B)
-        b2 = jnp.asarray(slot_b2)[sel]
-        maskd = jnp.asarray(bdm, dtype)        # (nbody, nv)
-        mdiff = maskd[b2] - maskd[b1]          # (K, B, nv)
-        mdiff = jnp.swapaxes(mdiff, 1, 2)      # (K, nv, B)
+        # body-membership difference via one-hot contraction (MXU matmul
+        # against the static (nbody, nv) dof-support table)
+        iota = jnp.arange(m.nbody, dtype=jnp.int32)[None, :, None]
+        ohd = ((con.b2[sl][:, None, :] == iota).astype(dtype)
+               - (con.b1[sl][:, None, :] == iota).astype(dtype))
+        mdiff = jnp.einsum("kbB,bv->kvB", ohd, maskd)         # (K, nv, B)
 
         ndim = min(cd, 3)
         # point jacobian rows: jacp[k, v] = base_v + ang_v x p_k
@@ -230,7 +219,6 @@ def _contact_groups(m: Model, d: Data, meta: EfcMeta) -> list[ConGroup]:
         jac = jnp.einsum("kdcB,kvcB->kdvB", cframe[:, :ndim], jacp)
 
         vel = jnp.einsum("kdvB,vB->kdB", jac, d.qvel)
-        R_n = jnp.maximum((1.0 - imp) / imp * invw, 1e-12)
         aref_n = -b_ * vel[:, 0] - k_ * pos_c
         if ndim > 1:
             R_f = R_n / jnp.maximum(m.opt.impratio, 1e-12)
@@ -255,13 +243,17 @@ def make_efc(m: Model, d: Data, meta: EfcMeta | None = None):
     return _limit_rows(m, d, meta), _contact_groups(m, d, meta)
 
 
-def solve(m: Model, d: Data, iterations: int | None = None) -> Data:
-    """Constraint solve: qacc, qfrc_constraint from the smooth solution."""
+def solve(m: Model, d: Data, iterations: int | None = None,
+          efc=None) -> Data:
+    """Constraint solve: qacc, qfrc_constraint from the smooth solution.
+
+    ``efc`` may be a prebuilt (Limits, [ConGroup]) pair (forward() builds
+    it once per substep and shares it with adhesion transmission)."""
     meta = efc_meta(m)
     if len(meta.limit_ids) == 0 and m.ncon_max == 0:
         return d.replace(qacc=d.qacc_smooth,
                          qfrc_constraint=jnp.zeros_like(d.qvel))
-    lim, groups = make_efc(m, d, meta)
+    lim, groups = efc if efc is not None else make_efc(m, d, meta)
     from flybody_tpu.physics import solver
     # fixed iteration count (static shapes, no early exit on TPU). With
     # Jacobi preconditioning + warm starting, ~16 APGD iterations reach

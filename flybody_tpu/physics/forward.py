@@ -43,9 +43,9 @@ def fwd_velocity(m: Model, d: Data) -> Data:
     return d
 
 
-def fwd_actuation(m: Model, d: Data) -> Data:
+def fwd_actuation(m: Model, d: Data, efc=None) -> Data:
     d = A.act_dynamics(m, d)
-    d = A.actuation(m, d)
+    d = A.actuation(m, d, efc=efc)
     return d
 
 
@@ -69,12 +69,17 @@ def fwd_acceleration(m: Model, d: Data) -> Data:
 
 
 def forward(m: Model, d: Data) -> Data:
-    """Full forward dynamics: qacc from (qpos, qvel, ctrl, act)."""
+    """Full forward dynamics: qacc from (qpos, qvel, ctrl, act).
+
+    The constraint rows (Jacobian + aref over the selected contact
+    islands) are assembled ONCE and shared between adhesion transmission
+    (which consumes the normal rows) and the contact solver."""
     d = fwd_position(m, d)
     d = fwd_velocity(m, d)
-    d = fwd_actuation(m, d)
+    efc = C.make_efc(m, d)
+    d = fwd_actuation(m, d, efc=efc)
     d = fwd_acceleration(m, d)
-    d = C.solve(m, d)
+    d = C.solve(m, d, efc=efc)
     return d
 
 

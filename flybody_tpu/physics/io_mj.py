@@ -399,9 +399,16 @@ def make_data(model: Model, B: int = 1, dtype=None) -> Data:
     ident = jnp.zeros((nbody, 4, B), dtype=dtype).at[:, 0].set(1.0)
     eye3 = jnp.broadcast_to(jnp.eye(3, dtype=dtype)[None, :, :, None],
                             (nbody, 3, 3, B))
+    ksum = _ksum(model)
     contact = Contact(
-        dist=jnp.full((ncon, B), 1e10, dtype=dtype),
-        pos=z(ncon, 3), frame=z(ncon, 3, 3),
+        sel=jnp.zeros((ksum, B), jnp.int32),
+        dist=jnp.full((ksum, B), 1e10, dtype=dtype),
+        pos=z(ksum, 3), frame=z(ksum, 3, 3),
+        k=z(ksum), b=z(ksum), R=jnp.full((ksum, B), 1.0, dtype=dtype),
+        mu=z(ksum), invw=z(ksum),
+        margin=z(ksum), marginfull=z(ksum),
+        b1=jnp.zeros((ksum, B), jnp.int32),
+        b2=jnp.zeros((ksum, B), jnp.int32),
     )
     return Data(
         qpos=jnp.broadcast_to(

@@ -26,7 +26,7 @@ _SUPPORT_CACHE: dict = {}
 
 def _support_pairs(m: Model):
     """Static (body, dof) pairs where the dof supports the body."""
-    key = id(m.body_dof_mask)
+    key = T.static_key(m.body_dof_mask)
     if key not in _SUPPORT_CACHE:
         b, v = np.nonzero(np.asarray(m.body_dof_mask))
         _SUPPORT_CACHE[key] = (b.astype(np.int32), v.astype(np.int32))

@@ -29,27 +29,24 @@ def _contact_body_forces(m: Model, d: Data) -> jnp.ndarray:
     out = jnp.zeros((m.nbody, 6, B), dtype=dtype)
     if m.ncon_max == 0 or d.warm_sel.shape[0] == 0:
         return out
-    from flybody_tpu.physics.actuation import _slot_bodies
-    b1s, b2s = _slot_bodies(m)
-    sel = d.warm_sel                                     # (Ksum, B)
-    frame = jnp.take_along_axis(d.contact.frame, sel[:, None, None, :],
-                                axis=0)                  # (Ksum, 3, 3, B)
-    pos = jnp.take_along_axis(d.contact.pos, sel[:, None, :], axis=0)
+    con = d.contact
+    # contact rows align 1:1 with warm_f rows (the solver writes warm_f
+    # over the same selected islands)
+    frame, pos, b1, b2 = con.frame, con.pos, con.b1, con.b2
     # world-frame force on body2 (normal points g1 -> g2; positive normal
     # force pushes the bodies apart, i.e. acts along -normal on body2)
     F = -jnp.einsum("cdkB,cdB->ckB", frame, d.warm_f)    # (Ksum, 3, B)
-    b1 = jnp.asarray(b1s, jnp.int32)[sel]                # (Ksum, B)
-    b2 = jnp.asarray(b2s, jnp.int32)[sel]
-    root = jnp.asarray(np.asarray(m.body_rootid), jnp.int32)
-    com2 = jnp.take_along_axis(d.subtree_com, root[b2][:, None, :], axis=0)
-    com1 = jnp.take_along_axis(d.subtree_com, root[b1][:, None, :], axis=0)
-    r2 = pos - com2
-    r1 = pos - com1
+    root = np.asarray(m.body_rootid)
+    com_root = d.subtree_com[root]                       # (nbody, 3, B)
     # one-hot accumulation over bodies (Ksum x nbody is tiny)
     oh2 = (b2[:, None, :] == jnp.arange(m.nbody)[None, :, None]
            ).astype(dtype)                               # (Ksum, nbody, B)
     oh1 = (b1[:, None, :] == jnp.arange(m.nbody)[None, :, None]
            ).astype(dtype)
+    com2 = jnp.einsum("kbB,bcB->kcB", oh2, com_root)
+    com1 = jnp.einsum("kbB,bcB->kcB", oh1, com_root)
+    r2 = pos - com2
+    r1 = pos - com1
     lin = jnp.einsum("kbB,kdB->bdB", oh2, F) - jnp.einsum(
         "kbB,kdB->bdB", oh1, F)
     ang = (jnp.einsum("kbB,kdB->bdB", oh2, bq.cross(r2, F))
@@ -62,7 +59,7 @@ _SUBTREE_CACHE: dict = {}
 
 def _subtree_pairs(m: Model):
     """Static (ancestor_body, descendant_body) pairs (incl. self)."""
-    key = id(m.body_parentid)
+    key = T.static_key(m.body_parentid)
     if key not in _SUBTREE_CACHE:
         par = np.asarray(m.body_parentid)
         anc_l, desc_l = [], []

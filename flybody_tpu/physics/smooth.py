@@ -55,7 +55,8 @@ def _dof_velpre_pairs(m: Model):
     round-1 engine): j ranges over dofs of strict body ancestors, dofs of
     earlier joints on the same body, and — for the rotational dofs of a
     free joint — the translational dofs of that same joint."""
-    key = id(m.dof_bodyid)
+    key = T.static_key(m.dof_bodyid, m.jnt_type, m.jnt_dofadr,
+                       m.body_parentid, m.body_jntadr, m.body_jntnum)
     if key in _VELPRE_CACHE:
         return _VELPRE_CACHE[key]
     jnt_type = np.asarray(m.jnt_type)

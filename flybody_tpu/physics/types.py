@@ -132,6 +132,28 @@ def _register(cls, data_fields, meta_fields):
     return cls
 
 
+def static_key(*arrays) -> tuple:
+    """Content-based cache key for static-plan caches.
+
+    Plans derived from a Model's static numpy structure must NOT be keyed
+    on ``id(array)``: CPython reuses object ids after garbage collection,
+    so two different models built in one process can silently collide
+    (observed as cross-test plan corruption once Contact row counts became
+    model-dependent). Key on content instead — plan builders run at trace
+    time only, so hashing the small structure arrays is free.
+    """
+    out = []
+    for a in arrays:
+        if a is None:
+            out.append(None)
+        elif isinstance(a, dict):
+            out.append(tuple(sorted(a.items())))
+        else:
+            a = np.asarray(a)
+            out.append((a.shape, a.dtype.str, a.tobytes()))
+    return tuple(out)
+
+
 def pytree(meta: tuple[str, ...] = ()):
     """Decorator: dataclass registered as pytree with given static fields."""
 
@@ -279,15 +301,36 @@ class Model:
 
 @pytree(meta=())
 class Contact:
-    """Batched dynamic contact state (fixed ncon_max candidate slots).
+    """Selected active contact islands (top-K by penetration per condim
+    group; row layout = constraint.efc_meta(m).groups order).
 
-    Slot-constant data (combined solref/solimp/friction/includemargin and
-    the geom pair per slot) lives in Model (con_* fields / pair tables).
+    Selection happens INSIDE collision(): the ncon_max candidate slots are
+    reduced to the Ksum selected rows with one-hot einsum contractions, so
+    no per-env dynamic gather of candidate-sized arrays survives anywhere
+    downstream (round-2 microbench: take_along_axis over (ncand, 3, B)
+    costs ~700us at B=4096 on v5e; one-hot contraction 10-50us and the
+    static-table variant maps onto the MXU).
+
+    Geometry fields are raw narrowphase outputs (dist is the signed
+    geometric distance, NOT margin-adjusted); per-slot solver parameters
+    (stiffness k / damping b / regularizer R from solref-solimp at the
+    selected penetration) are precomputed here so the constraint stage is
+    pure slicing + Jacobian assembly.
     """
 
-    dist: jax.Array       # (ncon, B)
-    pos: jax.Array        # (ncon, 3, B)
-    frame: jax.Array      # (ncon, 3, 3, B): rows = normal, tangent1, tangent2
+    sel: jax.Array        # (Ksum, B) int32 global candidate slot id
+    dist: jax.Array       # (Ksum, B) signed distance
+    pos: jax.Array        # (Ksum, 3, B) midpoint contact position
+    frame: jax.Array      # (Ksum, 3, 3, B): rows = normal, tangent1, tangent2
+    k: jax.Array          # (Ksum, B) solref/solimp stiffness
+    b: jax.Array          # (Ksum, B) solref/solimp damping
+    R: jax.Array          # (Ksum, B) normal-row regularizer (1-d)/d * invw
+    mu: jax.Array         # (Ksum, B) sliding friction
+    invw: jax.Array       # (Ksum, B) body invweight0 sum (diag approx)
+    margin: jax.Array     # (Ksum, B) includemargin of the slot
+    marginfull: jax.Array  # (Ksum, B) full margin (adhesion active zone)
+    b1: jax.Array         # (Ksum, B) int32 body id of geom1
+    b2: jax.Array         # (Ksum, B) int32 body id of geom2
 
 
 @pytree(meta=())

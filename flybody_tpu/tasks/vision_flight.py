@@ -216,11 +216,9 @@ class VisionFlightWBPG(Task):
         # fatal floor contact: any active contact involving the world body
         floor_hit = jnp.asarray(False)
         if model.ncon_max:
-            from flybody_tpu.physics.actuation import _slot_bodies
-            b1, b2 = _slot_bodies(model)
-            world_slot = jnp.asarray((b1 == 0) | (b2 == 0))
-            active = data.contact.dist < model.con_includemargin.astype(
-                data.contact.dist.dtype)
+            con = data.contact
+            world_slot = (con.b1 == 0) | (con.b2 == 0)
+            active = con.dist < con.margin
             floor_hit = jnp.any(active & world_slot)
         qacc = jnp.linalg.norm(data.qacc)
         terminated = (floor_hit

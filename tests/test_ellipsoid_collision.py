@@ -61,11 +61,19 @@ def _slot_geoms(model):
 
 def _dist_for(model, d, g1, g2):
     cg1, cg2 = _slot_geoms(model)
+    slot = None
     for k in range(model.ncon_max):
         if {int(cg1[k]), int(cg2[k])} == {g1, g2}:
-            return float(d.contact.dist[k, 0])
-    raise AssertionError(
-        f"pair not found: {list(zip(cg1.tolist(), cg2.tolist()))}")
+            slot = k
+            break
+    if slot is None:
+        raise AssertionError(
+            f"pair not found: {list(zip(cg1.tolist(), cg2.tolist()))}")
+    # contact now holds only the selected islands; locate the slot there
+    sel = np.asarray(d.contact.sel[:, 0])
+    rows = np.nonzero(sel == slot)[0]
+    assert len(rows), f"slot {slot} not selected (sel={sel.tolist()})"
+    return float(d.contact.dist[rows[0], 0])
 
 
 @pytest.mark.parametrize("cap_z,expect_sign", [(1.20, 1), (1.10, -1)])
