@@ -94,7 +94,7 @@ def adhesion_qfrc(m: Model, d: Data, force: jnp.ndarray,
     re-derived from candidate-slot arrays."""
     qfrc = jnp.zeros_like(d.qvel)
     acts, bodies = _adhesion_acts(m)
-    if len(acts) == 0 or m.ncon_max == 0:
+    if len(acts) == 0 or (m.ncon_max == 0 and m.nccd == 0):
         return qfrc
     dtype = d.qpos.dtype
     con = d.contact

@@ -8,10 +8,10 @@ kernel over (pairs, ..., B) arrays (component axis -2, trailing env batch);
 every candidate pair owns fixed contact slots, inactive slots are masked by
 dist >= includemargin downstream. No dynamic shapes anywhere.
 
-Supported primitive pairs cover the fly + arenas: plane/{sphere, capsule,
-ellipsoid, cylinder, box}, hfield/{sphere, capsule}, sphere/{sphere,
-capsule, ellipsoid, box}, capsule/{capsule, ellipsoid, box},
-ellipsoid/ellipsoid.
+Analytic primitive pairs cover plane/{sphere, capsule, ellipsoid,
+cylinder, box}, hfield/{sphere, capsule}, sphere/{sphere, capsule, box},
+capsule/{capsule, box}. Every ellipsoid/cylinder-vs-convex pair routes
+through the gated exact narrowphase in physics/ccd.py (_ccd_stage).
 """
 
 from __future__ import annotations
@@ -207,60 +207,6 @@ def _capsule_box(p1, m1, s1, p2, m2, s2):
     return d2, pos, nrm
 
 
-def _ellipsoid_surface_point(c, R, s, p):
-    """Approximate closest point on an ellipsoid to world points p, plus the
-    outward surface normal there. Scaled-space (ellipsoid -> unit sphere)
-    projection: exact for spheres, good for mild aspect ratios."""
-    local = bq.matvec_t(R, p - c)
-    z = local / jnp.maximum(s, 1e-12)
-    zn = _norm(z)
-    q_local = (z / jnp.maximum(zn, 1e-12)) * s
-    n_local = q_local / jnp.maximum(s * s, 1e-12)
-    n_local = n_local / jnp.maximum(_norm(n_local), 1e-12)
-    inside = zn[..., 0, :] < 1.0
-    return c + bq.matvec(R, q_local), bq.matvec(R, n_local), inside
-
-
-def _sphere_ellipsoid(p1, m1, s1, p2, m2, s2):
-    q, n, inside = _ellipsoid_surface_point(p2, m2, s2, p1)
-    d_c = _dot(n, p1 - q)[..., 0, :]
-    d_c = jnp.where(inside, -jnp.abs(d_c), d_c)
-    dist = d_c - s1[..., 0, :]
-    pos = p1 - n * (s1[..., 0:1, :] + 0.5 * dist[..., None, :])
-    return dist[:, None], pos[:, None], (-n)[:, None]
-
-
-def _capsule_ellipsoid(p1, m1, s1, p2, m2, s2):
-    axis = m1[..., :, 2, :]
-    hl = s1[..., 1:2, :]
-    A, B = p1 - hl * axis, p1 + hl * axis
-    p = p1
-    for _ in range(4):
-        q, n, inside = _ellipsoid_surface_point(p2, m2, s2, p)
-        p = _closest_on_seg(q, A, B)
-    q, n, inside = _ellipsoid_surface_point(p2, m2, s2, p)
-    d_c = _dot(n, p - q)[..., 0, :]
-    d_c = jnp.where(inside, -jnp.abs(d_c), d_c)
-    dist = d_c - s1[..., 0, :]
-    pos = p - n * (s1[..., 0:1, :] + 0.5 * dist[..., None, :])
-    return dist[:, None], pos[:, None], (-n)[:, None]
-
-
-def _ellipsoid_ellipsoid(p1, m1, s1, p2, m2, s2):
-    p = p1
-    q1 = p1
-    for _ in range(4):
-        q2, n2, in2 = _ellipsoid_surface_point(p2, m2, s2, p)
-        q1, n1, in1 = _ellipsoid_surface_point(p1, m1, s1, q2)
-        p = q1
-    q2, n2, in2 = _ellipsoid_surface_point(p2, m2, s2, q1)
-    gapv = _dot(n2, q1 - q2)[..., 0, :]
-    overlap = in1 | in2
-    dist = jnp.where(overlap, -jnp.abs(gapv), gapv)
-    pos = 0.5 * (q1 + q2)
-    return dist[:, None], pos[:, None], (-n2)[:, None]
-
-
 def _capsule_capsule(p1, m1, s1, p2, m2, s2):
     a1 = m1[..., :, 2, :] * s1[..., 1:2, :]
     a2 = m2[..., :, 2, :] * s2[..., 1:2, :]
@@ -347,12 +293,9 @@ def _dispatch(m: Model, t1: int, t2: int):
         (T.GEOM_PLANE, T.GEOM_BOX): _plane_box,
         (T.GEOM_SPHERE, T.GEOM_SPHERE): _sphere_sphere,
         (T.GEOM_SPHERE, T.GEOM_CAPSULE): _sphere_capsule,
-        (T.GEOM_SPHERE, T.GEOM_ELLIPSOID): _sphere_ellipsoid,
         (T.GEOM_SPHERE, T.GEOM_BOX): _sphere_box,
         (T.GEOM_CAPSULE, T.GEOM_CAPSULE): _capsule_capsule,
-        (T.GEOM_CAPSULE, T.GEOM_ELLIPSOID): _capsule_ellipsoid,
         (T.GEOM_CAPSULE, T.GEOM_BOX): _capsule_box,
-        (T.GEOM_ELLIPSOID, T.GEOM_ELLIPSOID): _ellipsoid_ellipsoid,
     }
     if (t1, t2) in table:
         return table[(t1, t2)]
@@ -424,6 +367,69 @@ def _slot_table(m: Model, dtype):
     return cols, m.con_solimp.astype(dtype)
 
 
+# Fixed iteration budget for the gated exact-convex narrowphase
+# (physics/ccd.py). 32 reaches ~1e-6 relative accuracy on the fly's
+# shape inventory in f64 (tests/test_ccd.py).
+CCD_ITERS = 32
+
+
+def _ccd_stage(m: Model, d: Data, dtype):
+    """Gated exact-convex narrowphase: bounding-sphere distances over all
+    nccd candidate pairs -> top-ccd_budget lanes per env -> ccd support
+    minimization on the selected lanes only. Returns rows in the same
+    (dist, pos, nrm, stat8, simp5, sel) layout the analytic groups use."""
+    from flybody_tpu.physics import ccd as ccd_mod
+
+    N = m.ccd_budget
+    g1 = np.asarray(m.ccd_geom1)
+    g2 = np.asarray(m.ccd_geom2)
+    c1 = d.geom_xpos[g1]                       # (nccd, 3, B) static gather
+    c2 = d.geom_xpos[g2]
+    rb = jnp.asarray(np.asarray(m.ccd_rbsum), dtype)[:, None]
+    db = jnp.sqrt(jnp.sum((c1 - c2) ** 2, axis=1) + 1e-20) - rb
+    eff = db - m.ccd_includemargin.astype(dtype)[:, None]
+    _, top = jax.lax.top_k(-eff.T, N)          # (B, N)
+    idx = top.T                                # (N, B)
+
+    # per-lane static-table params in one gather
+    b1f = jnp.asarray(np.asarray(m.ccd_b1), dtype)
+    b2f = jnp.asarray(np.asarray(m.ccd_b2), dtype)
+    invw = (m.body_invweight0[np.asarray(m.ccd_b1), 0]
+            + m.body_invweight0[np.asarray(m.ccd_b2), 0]).astype(dtype)
+    tab = jnp.concatenate([
+        m.ccd_core.astype(dtype),                      # 0:10
+        m.ccd_solref.astype(dtype),                    # 10:12
+        m.ccd_solimp.astype(dtype),                    # 12:17
+        m.ccd_mu.astype(dtype)[:, None],               # 17
+        invw[:, None],                                 # 18
+        m.ccd_includemargin.astype(dtype)[:, None],    # 19
+        m.ccd_margin.astype(dtype)[:, None],           # 20
+        b1f[:, None], b2f[:, None],                    # 21, 22
+    ], axis=1)
+    ts = tab[idx]                              # (N, B, 23)
+
+    # per-lane geometry
+    gg1 = jnp.asarray(g1, jnp.int32)[idx]      # (N, B)
+    gg2 = jnp.asarray(g2, jnp.int32)[idx]
+    p1 = jnp.take_along_axis(d.geom_xpos, gg1[:, None, :], axis=0)
+    p2 = jnp.take_along_axis(d.geom_xpos, gg2[:, None, :], axis=0)
+    R1 = jnp.take_along_axis(d.geom_xmat, gg1[:, None, None, :], axis=0)
+    R2 = jnp.take_along_axis(d.geom_xmat, gg2[:, None, None, :], axis=0)
+
+    mv = lambda sl: jnp.moveaxis(ts[..., sl], -1, 1)   # (N, c, B)
+    prm1 = (mv(slice(0, 3)), mv(slice(3, 4)), mv(slice(4, 5)), True)
+    prm2 = (mv(slice(5, 8)), mv(slice(8, 9)), mv(slice(9, 10)), True)
+    dist, pos, nrm = ccd_mod.narrowphase(p1, R1, prm1, p2, R2, prm2,
+                                         iters=CCD_ITERS)
+
+    col = lambda i: ts[..., i]                 # (N, B)
+    stat = jnp.stack([col(10), col(11), col(17), col(18), col(19),
+                      col(20), col(21), col(22)], axis=1)   # (N, 8, B)
+    simp = mv(slice(12, 17))                   # (N, 5, B)
+    sel = (m.ncon_max + idx).astype(jnp.int32)
+    return dist, pos, nrm, stat, simp, sel
+
+
 def collision(m: Model, d: Data) -> Data:
     """Narrowphase + top-K active-island selection -> selected Contact.
 
@@ -433,20 +439,20 @@ def collision(m: Model, d: Data) -> Data:
     tables compile to MXU matmuls, and contractions against (ncand, c, B)
     payloads stream the candidate arrays exactly once.
     """
-    if m.ncon_max == 0:
+    if m.ncon_max == 0 and m.ccd_budget == 0:
         return d
     from flybody_tpu.physics.constraint import _kbi, efc_meta
 
     meta = efc_meta(m)
     dtype = d.qpos.dtype
     B = d.qpos.shape[-1]
-    dist_all, pos_all, nrm_all = _narrowphase(m, d)
-    table, solimp_t = _slot_table(m, dtype)
-    con_dim = np.asarray(m.con_dim)
-    incmargin = m.con_includemargin.astype(dtype)
-
     sel_l, dist_l, pos_l, nrm_l, stat_l, simp_l = [], [], [], [], [], []
-    for cd, K in meta.groups:
+    if m.ncon_max:
+        dist_all, pos_all, nrm_all = _narrowphase(m, d)
+        table, solimp_t = _slot_table(m, dtype)
+        con_dim = np.asarray(m.con_dim)
+        incmargin = m.con_includemargin.astype(dtype)
+    for cd, K in meta.analytic_groups:
         slots = np.nonzero(con_dim == cd)[0]
         dist_g = dist_all[slots]
         if len(slots) > K:
@@ -472,6 +478,15 @@ def collision(m: Model, d: Data) -> Data:
             sel_l.append(jnp.broadcast_to(
                 jnp.asarray(slots, jnp.int32)[:, None], (len(slots), B)))
 
+    if m.ccd_budget > 0:
+        cds, cdp, cdn, cst, csi, csel = _ccd_stage(m, d, dtype)
+        dist_l.append(cds)
+        pos_l.append(cdp)
+        nrm_l.append(cdn)
+        stat_l.append(cst)
+        simp_l.append(csi)
+        sel_l.append(csel)
+
     sel = jnp.concatenate(sel_l, axis=0)
     dist = jnp.concatenate(dist_l, axis=0)
     pos = jnp.concatenate(pos_l, axis=0)
@@ -487,7 +502,8 @@ def collision(m: Model, d: Data) -> Data:
     b2 = jnp.round(stat[:, 7]).astype(jnp.int32)
     pos_c = dist - margin
     k_, b_, imp = _kbi((stat[:, 0], stat[:, 1]),
-                       tuple(simp[:, i] for i in range(5)), pos_c)
+                       tuple(simp[:, i] for i in range(5)), pos_c,
+                       tsmin=2.0 * m.opt.timestep)
     R = jnp.maximum((1.0 - imp) / imp * invw, 1e-12)
     frame = _make_frame(nrm)
 

@@ -55,13 +55,18 @@ def _impedance(solimp, pos):
     return jnp.clip(imp, 1e-5, 1.0 - 1e-5)
 
 
-def _kbi(solref, solimp, pos):
+def _kbi(solref, solimp, pos, tsmin=0.0):
     """Stiffness/damping/impedance from solref/solimp (MuJoCo formulas).
 
-    solref: tuple of 2, solimp: tuple of 5 broadcastable arrays."""
+    solref: tuple of 2, solimp: tuple of 5 broadcastable arrays.
+    tsmin: the refsafe floor 2*opt.timestep — MuJoCo (default-enabled
+    mjDSBL_REFSAFE off) clamps timeconst to >= 2 dt for stability; the
+    reference fly's contact solref (2e-4, 1) at walk timestep 2e-4 hits
+    this clamp, scaling k by 1/4 and b by 1/2 vs the raw formula."""
     imp = _impedance(solimp, pos)
     dmax = jnp.clip(solimp[1], 1e-5, 1.0 - 1e-5)
     timeconst, dampratio = solref
+    timeconst = jnp.maximum(timeconst, tsmin)
     b_std = 2.0 / (dmax * jnp.maximum(timeconst, 1e-12))
     k_std = imp / (dmax * dmax * jnp.maximum(timeconst, 1e-12) ** 2
                    * jnp.maximum(dampratio, 1e-12) ** 2)
@@ -77,7 +82,11 @@ class EfcMeta:
     limit_ids: np.ndarray      # limited scalar joint ids
     limit_qadr: np.ndarray
     limit_dadr: np.ndarray
-    groups: tuple              # ((condim, K) ...) in slot order
+    groups: tuple              # ((condim, K) ...) FULL contact-row layout
+    analytic_groups: tuple     # prefix of `groups` fed by the analytic
+    #                            candidate-slot narrowphase; the final
+    #                            (3, ccd_budget) group (when present) is
+    #                            fed by the gated ccd stage instead
     nrows: int                 # total rows incl. limits (for efc_force)
 
 
@@ -87,7 +96,8 @@ _META_CACHE: dict = {}
 def efc_meta(m: Model) -> EfcMeta:
     key = T.static_key(m.con_dim, m.jnt_limited, m.jnt_type,
                        m.jnt_qposadr, m.jnt_dofadr,
-                       dict(m.con_sel) if m.con_sel else {})
+                       dict(m.con_sel) if m.con_sel else {},
+                       np.array([m.nccd, m.ccd_budget]))
     if key in _META_CACHE:
         return _META_CACHE[key]
     jl = np.asarray(m.jnt_limited, dtype=bool)
@@ -100,12 +110,15 @@ def efc_meta(m: Model) -> EfcMeta:
         n = int((con_dim == cd).sum())
         cap = sel.get(int(cd), MAX_ACTIVE.get(int(cd), 16))
         groups.append((int(cd), min(n, cap)))
+    analytic = tuple(groups)
+    if m.ccd_budget > 0:
+        groups.append((3, int(m.ccd_budget)))
     nrows = len(ids) + sum(min(cd, 3) * k for cd, k in groups)
     meta = EfcMeta(
         limit_ids=ids,
         limit_qadr=np.asarray(m.jnt_qposadr)[ids],
         limit_dadr=np.asarray(m.jnt_dofadr)[ids],
-        groups=tuple(groups), nrows=nrows)
+        groups=tuple(groups), analytic_groups=analytic, nrows=nrows)
     _META_CACHE[key] = meta
     return meta
 
@@ -159,7 +172,7 @@ def _limit_rows(m: Model, d: Data, meta: EfcMeta) -> Limits | None:
     pos = dist - m.jnt_margin[ids][:, None]
     solref = tuple(m.jnt_solref[ids, i][:, None] for i in range(2))
     solimp = tuple(m.jnt_solimp[ids, i][:, None] for i in range(5))
-    k, b, imp = _kbi(solref, solimp, pos)
+    k, b, imp = _kbi(solref, solimp, pos, tsmin=2.0 * m.opt.timestep)
     vel = sign * d.qvel[dadr]
     aref = -b * vel - k * pos
     invweight = m.dof_invweight0[dadr][:, None]
@@ -174,7 +187,7 @@ def _contact_groups(m: Model, d: Data, meta: EfcMeta) -> list[ConGroup]:
     top-K island selection and solref/solimp evaluation): pure static row
     slicing + Jacobian assembly; the only per-env index use is the one-hot
     body-membership contraction, which maps onto the MXU."""
-    if m.ncon_max == 0:
+    if m.ncon_max == 0 and m.nccd == 0:
         return []
     dtype = d.qpos.dtype
     B = d.qpos.shape[-1]
@@ -250,7 +263,7 @@ def solve(m: Model, d: Data, iterations: int | None = None,
     ``efc`` may be a prebuilt (Limits, [ConGroup]) pair (forward() builds
     it once per substep and shares it with adhesion transmission)."""
     meta = efc_meta(m)
-    if len(meta.limit_ids) == 0 and m.ncon_max == 0:
+    if len(meta.limit_ids) == 0 and m.ncon_max == 0 and m.nccd == 0:
         return d.replace(qacc=d.qacc_smooth,
                          qfrc_constraint=jnp.zeros_like(d.qvel))
     lim, groups = efc if efc is not None else make_efc(m, d, meta)

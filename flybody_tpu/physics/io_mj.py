@@ -39,23 +39,22 @@ _PAIR_NCON = {
     (T.GEOM_HFIELD, T.GEOM_CAPSULE): 2,
     (T.GEOM_SPHERE, T.GEOM_SPHERE): 1,
     (T.GEOM_SPHERE, T.GEOM_CAPSULE): 1,
-    (T.GEOM_SPHERE, T.GEOM_ELLIPSOID): 1,
     (T.GEOM_SPHERE, T.GEOM_BOX): 1,
     (T.GEOM_CAPSULE, T.GEOM_CAPSULE): 1,
-    (T.GEOM_CAPSULE, T.GEOM_ELLIPSOID): 1,
     (T.GEOM_CAPSULE, T.GEOM_BOX): 2,
-    (T.GEOM_ELLIPSOID, T.GEOM_ELLIPSOID): 1,
 }
-# NOTE: ellipsoid narrowphase uses scaled-space projections (approximate;
-# exact for spheres). Cylinder-vs-convex pairs are still dropped at model
-# build. TODO(round 2): exact smooth-convex narrowphase.
+# Every ellipsoid/cylinder vs {sphere, capsule, ellipsoid, cylinder} pair
+# routes through the gated exact-convex narrowphase (physics/ccd.py),
+# matching MuJoCo's mjc_Convex dispatch. Plane-vs-* keeps analytic
+# support-point functions (as MuJoCo does).
+_CCD_TYPES = {T.GEOM_SPHERE, T.GEOM_CAPSULE, T.GEOM_ELLIPSOID,
+              T.GEOM_CYLINDER}
 
-# Ellipsoid-vs-convex SELF-collision pairs are disabled by default (0.0):
-# the approximate narrowphase reports spurious deep penetrations where
-# limbs root near the thorax/head ellipsoids, destabilizing float32
-# stepping. Plane-ellipsoid (exact) is always on. Set to a finite
-# aspect-ratio bound (e.g. 4.0) to enable for near-spherical shapes.
-ELLIPSOID_ASPECT_LIMIT = 0.0
+
+def _is_ccd_pair(t1: int, t2: int) -> bool:
+    return (t1 in _CCD_TYPES and t2 in _CCD_TYPES
+            and (T.GEOM_ELLIPSOID in (t1, t2)
+                 or T.GEOM_CYLINDER in (t1, t2)))
 
 
 def _names(m) -> dict:
@@ -121,9 +120,11 @@ def _ancestor_mask(dof_parentid: np.ndarray, nv: int) -> np.ndarray:
     return mask
 
 
-def _collision_pairs(m) -> tuple[np.ndarray, np.ndarray, list]:
-    """Static candidate geom pairs passing MuJoCo's collision filters."""
+def _collision_pairs(m):
+    """Static candidate geom pairs passing MuJoCo's collision filters,
+    split into analytic-narrowphase pairs and gated ccd pairs."""
     geom1, geom2 = [], []
+    ccd1, ccd2 = [], []
     weld = m.body_weldid
     weldparent = np.array([weld[m.body_parentid[weld[b]]]
                            for b in range(m.nbody)])
@@ -131,13 +132,6 @@ def _collision_pairs(m) -> tuple[np.ndarray, np.ndarray, list]:
     for e in range(m.nexclude):
         sig = m.exclude_signature[e]
         excluded.add((sig >> 16, sig & 0xFFFF))
-    def _ellipsoid_ok(g):
-        if int(m.geom_type[g]) != T.GEOM_ELLIPSOID:
-            return True
-        if ELLIPSOID_ASPECT_LIMIT <= 0:
-            return False
-        s = np.asarray(m.geom_size[g])
-        return float(s.max() / max(s.min(), 1e-12)) <= ELLIPSOID_ASPECT_LIMIT
 
     for i in range(m.ngeom):
         for j in range(i + 1, m.ngeom):
@@ -145,12 +139,8 @@ def _collision_pairs(m) -> tuple[np.ndarray, np.ndarray, list]:
             g1, g2 = (i, j)
             if t1 > t2:
                 g1, g2, t1, t2 = j, i, t2, t1
-            if (t1, t2) not in _PAIR_NCON:
-                continue
-            # plane-ellipsoid narrowphase is exact; self-collision
-            # ellipsoid pairs require mild aspect ratios
-            if t1 != T.GEOM_PLANE and not (
-                    _ellipsoid_ok(g1) and _ellipsoid_ok(g2)):
+            is_ccd = _is_ccd_pair(t1, t2)
+            if not is_ccd and (t1, t2) not in _PAIR_NCON:
                 continue
             b1, b2 = int(m.geom_bodyid[g1]), int(m.geom_bodyid[g2])
             con1, aff1 = int(m.geom_contype[g1]), int(m.geom_conaffinity[g1])
@@ -166,12 +156,17 @@ def _collision_pairs(m) -> tuple[np.ndarray, np.ndarray, list]:
             bb = (min(b1, b2), max(b1, b2))
             if bb in excluded or (bb[1], bb[0]) in excluded:
                 continue
-            geom1.append(g1)
-            geom2.append(g2)
+            if is_ccd:
+                ccd1.append(g1)
+                ccd2.append(g2)
+            else:
+                geom1.append(g1)
+                geom2.append(g2)
     types = [(int(m.geom_type[a]), int(m.geom_type[b]))
              for a, b in zip(geom1, geom2)]
     return (np.array(geom1, dtype=np.int32),
-            np.array(geom2, dtype=np.int32), types)
+            np.array(geom2, dtype=np.int32), types,
+            np.array(ccd1, dtype=np.int32), np.array(ccd2, dtype=np.int32))
 
 
 _SENSOR_MAP = {}  # filled lazily from mujoco enums
@@ -206,12 +201,16 @@ def _sensor_code(mj_type: int) -> int:
     return code
 
 
-def put_model(m, dtype=jnp.float32, con_sel: dict | None = None) -> Model:
+def put_model(m, dtype=jnp.float32, con_sel: dict | None = None,
+              ccd_budget: int = 128) -> Model:
     """Convert a compiled mjModel into the engine's Model pytree.
 
     con_sel: optional {condim: K} overrides for the per-condim active
     contact island sizes (smaller K = faster constraint solve; default
     constraint.MAX_ACTIVE).
+    ccd_budget: per-env lane budget for the gated exact-convex
+    narrowphase (ellipsoid/cylinder pairs); the nccd candidates are
+    gated to this many by bounding-sphere distance each substep.
     """
     import mujoco
 
@@ -222,14 +221,11 @@ def put_model(m, dtype=jnp.float32, con_sel: dict | None = None) -> Model:
     a = lambda x: jnp.asarray(np.asarray(x), dtype=dtype)
     s = lambda x: Static(np.asarray(x))
 
-    pair_g1, pair_g2, pair_types = _collision_pairs(m)
+    pair_g1, pair_g2, pair_types, ccd_g1, ccd_g2 = _collision_pairs(m)
     ncon_max = int(sum(_PAIR_NCON[t] for t in pair_types))
-    # Per-slot combined contact params (mj_contactParam semantics),
-    # precomputed host-side so collision() traces O(groups) not O(pairs).
-    con_dim = []
-    con_solref, con_solimp, con_fric, con_incmargin = [], [], [], []
-    con_margin_l = []
-    for (g1, g2) in zip(pair_g1, pair_g2):
+
+    def _combined_params(g1, g2):
+        """mj_contactParam semantics for one geom pair."""
         p1, p2 = int(m.geom_priority[g1]), int(m.geom_priority[g2])
         if p1 != p2:
             hi = g1 if p1 > p2 else g2
@@ -247,23 +243,57 @@ def put_model(m, dtype=jnp.float32, con_sel: dict | None = None) -> Model:
                 solref = mix * m.geom_solref[g1] + (1 - mix) * m.geom_solref[g2]
             solimp = mix * m.geom_solimp[g1] + (1 - mix) * m.geom_solimp[g2]
             fric = np.maximum(m.geom_friction[g1], m.geom_friction[g2])
+        # MuJoCo >= 3.x: contact.includemargin == margin (gap does not
+        # shrink the constraint zone; verified empirically vs the oracle)
         margin = max(float(m.geom_margin[g1]), float(m.geom_margin[g2]))
-        gap = max(float(m.geom_gap[g1]), float(m.geom_gap[g2]))
         fric5 = np.array([fric[0], fric[0], fric[1], fric[2], fric[2]])
+        return cd, solref, solimp, fric5, margin
+
+    # Per-slot combined contact params (precomputed host-side so
+    # collision() traces O(groups) not O(pairs)).
+    con_dim = []
+    con_solref, con_solimp, con_fric, con_incmargin = [], [], [], []
+    con_margin_l = []
+    for (g1, g2) in zip(pair_g1, pair_g2):
+        cd, solref, solimp, fric5, margin = _combined_params(g1, g2)
         t = (int(m.geom_type[g1]), int(m.geom_type[g2]))
         k = _PAIR_NCON[t]
         con_dim += [cd] * k
         con_solref += [solref] * k
         con_solimp += [solimp] * k
         con_fric += [fric5] * k
-        # MuJoCo >= 3.x: contact.includemargin == margin (gap does not
-        # shrink the constraint zone; verified empirically vs the oracle)
         con_incmargin += [margin] * k
         con_margin_l += [margin] * k
-        del gap
+
+    # ccd pair tables (support-core geometry + combined params)
+    from flybody_tpu.physics import ccd as ccd_mod
+    nccd = len(ccd_g1)
+    ccd_core, ccd_solref_l, ccd_solimp_l = [], [], []
+    ccd_mu_l, ccd_margin_ll, ccd_rbsum = [], [], []
+    for (g1, g2) in zip(ccd_g1, ccd_g2):
+        cd, solref, solimp, fric5, margin = _combined_params(g1, g2)
+        if cd == 1:
+            # the gated ccd pool is one static condim-3 group; in the
+            # dual solver a friction cone with mu = 0 is EXACTLY a
+            # frictionless contact (the cone projection zeroes the
+            # tangential forces every iteration, incl. the noslip pass),
+            # so condim-1 pairs are promoted with mu := 0
+            fric5 = np.zeros_like(fric5)
+        elif cd != 3:
+            raise NotImplementedError(
+                f"ccd pair condim {cd} (only 1/3 supported)")
+        c1 = ccd_mod.geom_core_params(int(m.geom_type[g1]), m.geom_size[g1])
+        c2 = ccd_mod.geom_core_params(int(m.geom_type[g2]), m.geom_size[g2])
+        ccd_core.append(np.concatenate([c1[:5], c2[:5]]))
+        ccd_solref_l.append(solref)
+        ccd_solimp_l.append(solimp)
+        ccd_mu_l.append(fric5[0])
+        ccd_margin_ll.append(margin)
+        ccd_rbsum.append(float(m.geom_rbound[g1] + m.geom_rbound[g2]))
+    ccd_budget_eff = min(ccd_budget, nccd) if nccd else 0
 
     n_limit = int(m.jnt_limited.sum())
-    nefc = n_limit + int(sum(con_dim))
+    nefc = n_limit + int(sum(con_dim)) + 3 * ccd_budget_eff
 
     integ = {0: T.EULER, 1: T.RK4, 2: T.IMPLICIT}.get(int(m.opt.integrator),
                                                       T.EULER)
@@ -335,6 +365,11 @@ def put_model(m, dtype=jnp.float32, con_sel: dict | None = None) -> Model:
         con_dim=s(np.array(con_dim, dtype=np.int32)),
         con_sel=tuple(sorted((con_sel or {}).items())),
         names=_names(m),
+        nccd=nccd, ccd_budget=ccd_budget_eff,
+        ccd_geom1=s(ccd_g1), ccd_geom2=s(ccd_g2),
+        ccd_b1=s(np.asarray(m.geom_bodyid)[ccd_g1].astype(np.int32)),
+        ccd_b2=s(np.asarray(m.geom_bodyid)[ccd_g2].astype(np.int32)),
+        ccd_rbsum=s(np.array(ccd_rbsum, dtype=np.float64)),
         opt=opt,
         qpos0=a(m.qpos0), qpos_spring=a(m.qpos_spring),
         body_pos=a(m.body_pos), body_quat=a(m.body_quat),
@@ -385,6 +420,18 @@ def put_model(m, dtype=jnp.float32, con_sel: dict | None = None) -> Model:
         con_includemargin=(a(np.array(con_incmargin)) if con_incmargin
                            else jnp.zeros((0,), dtype=dtype)),
         con_margin=(a(np.array(con_margin_l)) if con_margin_l
+                    else jnp.zeros((0,), dtype=dtype)),
+        ccd_core=(a(np.stack(ccd_core)) if nccd
+                  else jnp.zeros((0, 10), dtype=dtype)),
+        ccd_solref=(a(np.stack(ccd_solref_l)) if nccd
+                    else jnp.zeros((0, 2), dtype=dtype)),
+        ccd_solimp=(a(np.stack(ccd_solimp_l)) if nccd
+                    else jnp.zeros((0, 5), dtype=dtype)),
+        ccd_mu=(a(np.array(ccd_mu_l)) if nccd
+                else jnp.zeros((0,), dtype=dtype)),
+        ccd_includemargin=(a(np.array(ccd_margin_ll)) if nccd
+                           else jnp.zeros((0,), dtype=dtype)),
+        ccd_margin=(a(np.array(ccd_margin_ll)) if nccd
                     else jnp.zeros((0,), dtype=dtype)),
     )
 

@@ -143,7 +143,7 @@ def solve_dual(m: Model, d: Data, lim, groups, iterations: int = 24,
     v_groups = [jnp.ones_like(bg) for bg in b_groups]
     v_lim, v_groups = act_mask(v_lim, v_groups)
     L = jnp.ones((B,), dtype)
-    for _ in range(3):
+    for _ in range(6):
         nrm = jnp.sqrt(_tree_dot(flat(v_lim, v_groups),
                                  flat(v_lim, v_groups))) + 1e-30
         v_lim = v_lim / nrm if lim is not None else None
@@ -157,7 +157,7 @@ def solve_dual(m: Model, d: Data, lim, groups, iterations: int = 24,
         v_lim, v_groups = act_mask(v_lim, v_groups)
         L = jnp.sqrt(_tree_dot(flat(v_lim, v_groups),
                                flat(v_lim, v_groups))) + 1e-30
-    L = jnp.maximum(1.1 * L, 1.0)
+    L = jnp.maximum(1.5 * L, 1.0)
     inv_L = 1.0 / L
 
     # ---- warm start from previous-step selected forces ----------------

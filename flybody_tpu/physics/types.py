@@ -214,6 +214,9 @@ _MODEL_META = (
     "con_sel",  # ((condim, K) ...) active-island sizes per condim group
     "names",
     "nhfield", "hfield_nrow", "hfield_ncol",
+    # gated exact-convex (ccd) pair tables
+    "nccd", "ccd_budget",
+    "ccd_geom1", "ccd_geom2", "ccd_b1", "ccd_b2", "ccd_rbsum",
 )
 
 
@@ -261,6 +264,16 @@ class Model:
     con_dim: Static
     con_sel: tuple
     names: Any  # dict of name tables (static)
+    # ---- gated exact-convex (ccd) pairs: every candidate pair whose
+    # narrowphase needs the support-minimization solver (physics/ccd.py:
+    # ellipsoid/cylinder vs sphere/capsule/ellipsoid/cylinder). Cheap
+    # bounding-sphere distances gate the nccd candidates down to
+    # ccd_budget lanes per env before the solver runs. ----
+    nccd: int
+    ccd_budget: int
+    ccd_geom1: Static; ccd_geom2: Static   # (nccd,) geom ids (t1 <= t2)
+    ccd_b1: Static; ccd_b2: Static         # (nccd,) body ids
+    ccd_rbsum: Static                      # (nccd,) bounding-radius sum
 
     # ---- numeric parameters (traced jnp arrays) ----
     opt: Option
@@ -297,6 +310,14 @@ class Model:
     con_friction: jax.Array     # (ncon_max, 5)
     con_includemargin: jax.Array  # (ncon_max,)
     con_margin: jax.Array       # (ncon_max,) full margin (adhesion zone)
+    # per-ccd-pair combined params + support-core geometry
+    # ccd_core columns: [ell1(3), seg1, r1, ell2(3), seg2, r2]
+    ccd_core: jax.Array         # (nccd, 10)
+    ccd_solref: jax.Array       # (nccd, 2)
+    ccd_solimp: jax.Array       # (nccd, 5)
+    ccd_mu: jax.Array           # (nccd,) sliding friction
+    ccd_includemargin: jax.Array  # (nccd,)
+    ccd_margin: jax.Array       # (nccd,)
 
 
 @pytree(meta=())

@@ -1,5 +1,8 @@
-"""Sanity tests for the approximate ellipsoid narrowphase (direction and
-sign correctness vs the MuJoCo oracle; magnitudes are approximate)."""
+"""Ellipsoid pairs route through the gated exact-convex narrowphase
+(physics/ccd.py) end-to-end: model build -> fwd_position -> collision ->
+selected Contact rows. Distances are exact (support minimization), so
+tolerances here are tight — unlike the round-1 scaled-space
+approximation these replaced."""
 
 import mujoco
 import numpy as np
@@ -36,44 +39,33 @@ _XML = """
 @pytest.fixture(scope="module")
 def setup():
     mj_model = mujoco.MjModel.from_xml_string(_XML)
-    old = io_mj.ELLIPSOID_ASPECT_LIMIT
-    io_mj.ELLIPSOID_ASPECT_LIMIT = 4.0  # enable ellipsoid self pairs
-    try:
-        model = io_mj.put_model(mj_model, dtype=jnp.float64)
-    finally:
-        io_mj.ELLIPSOID_ASPECT_LIMIT = old
+    model = io_mj.put_model(mj_model, dtype=jnp.float64)
     return mj_model, model
 
 
-def _slot_geoms(model):
-    """Static per-slot geom ids from the model pair tables."""
-    from flybody_tpu.physics.io_mj import _PAIR_NCON
-    pg1 = np.asarray(model.pair_geom1)
-    pg2 = np.asarray(model.pair_geom2)
-    pt = np.asarray(model.pair_type)
-    g1s, g2s = [], []
-    for k in range(len(pg1)):
-        n = _PAIR_NCON[(int(pt[k, 0]), int(pt[k, 1]))]
-        g1s += [int(pg1[k])] * n
-        g2s += [int(pg2[k])] * n
-    return np.array(g1s), np.array(g2s)
-
-
 def _dist_for(model, d, g1, g2):
-    cg1, cg2 = _slot_geoms(model)
+    """Contact dist of the (g1, g2) pair from the selected rows (the pair
+    is ccd-routed: its global slot id is ncon_max + ccd index)."""
+    cg1 = np.asarray(model.ccd_geom1)
+    cg2 = np.asarray(model.ccd_geom2)
     slot = None
-    for k in range(model.ncon_max):
+    for k in range(model.nccd):
         if {int(cg1[k]), int(cg2[k])} == {g1, g2}:
-            slot = k
+            slot = model.ncon_max + k
             break
-    if slot is None:
-        raise AssertionError(
-            f"pair not found: {list(zip(cg1.tolist(), cg2.tolist()))}")
-    # contact now holds only the selected islands; locate the slot there
+    assert slot is not None, (cg1, cg2)
     sel = np.asarray(d.contact.sel[:, 0])
     rows = np.nonzero(sel == slot)[0]
     assert len(rows), f"slot {slot} not selected (sel={sel.tolist()})"
     return float(d.contact.dist[rows[0], 0])
+
+
+def test_pairs_are_ccd_routed(setup):
+    _, model = setup
+    # ell-cap, ell-sph, cap-sph: cap-sph stays analytic
+    assert model.nccd == 2
+    assert model.ncon_max == 1
+    assert model.ccd_budget == 2
 
 
 @pytest.mark.parametrize("cap_z,expect_sign", [(1.20, 1), (1.10, -1)])
@@ -87,10 +79,10 @@ def test_capsule_ellipsoid_distance_sign(setup, cap_z, expect_sign):
     d = F.fwd_position(model, d)
     # geom ids by definition order: 0 ell, 1 cap, 2 sph
     dist = _dist_for(model, d, 1, 0)
-    # capsule bottom at z - 0.05, ellipsoid top at 1.09
+    # capsule (axis along x) bottom at z - 0.05, ellipsoid top at 1.09
     expected = (cap_z - 0.05) - 1.09
     assert np.sign(dist) == expect_sign
-    assert abs(dist - expected) < 0.02, (dist, expected)
+    assert abs(dist - expected) < 1e-6, (dist, expected)
 
 
 def test_sphere_ellipsoid_distance(setup):
@@ -101,4 +93,4 @@ def test_sphere_ellipsoid_distance(setup):
     d = F.fwd_position(model, d)
     dist = _dist_for(model, d, 0, 2)
     # sphere at x=0.4, ellipsoid +x semi-axis 0.1, sphere r 0.06
-    assert abs(dist - (0.4 - 0.1 - 0.06)) < 0.01, dist
+    assert abs(dist - (0.4 - 0.1 - 0.06)) < 1e-9, dist

@@ -12,7 +12,6 @@ import jax
 import jax.numpy as jnp
 
 from flybody_tpu.fly_envs import walk_on_ball
-from flybody_tpu.physics import actuation as A
 from flybody_tpu.physics import collision as col
 from flybody_tpu.physics import constraint as C
 from flybody_tpu.physics import forward as F
@@ -44,7 +43,8 @@ def main():
     states = jax.jit(env.reset)(jax.random.split(jax.random.PRNGKey(0), B))
     d0 = states.data
     fetch(d0)
-    print(f"B={B}", flush=True)
+    print(f"B={B} ncon={m.ncon_max} nccd={m.nccd} ccd_budget={m.ccd_budget}",
+          flush=True)
 
     def substep(d, skip=()):
         d = K.kinematics(m, d)
@@ -52,15 +52,28 @@ def main():
         d = K.tendon(m, d)
         d = S.crb(m, d)
         if "collision" not in skip:
-            d = col.collision(m, d)
+            if "ccd" in skip:
+                import dataclasses
+                m2 = dataclasses.replace(m, ccd_budget=0)
+                d = col.collision(m2, d)
+                mm = m2
+            else:
+                d = col.collision(m, d)
+                mm = m
+        else:
+            mm = m
         d = S.transmission(m, d)
         d = S.com_vel(m, d)
         d = P.passive(m, d)
         d = S.rne(m, d)
-        d = F.fwd_actuation(m, d)
+        if "collision" not in skip and "constraint" not in skip:
+            efc = C.make_efc(mm, d)
+        else:
+            efc = None
+        d = F.fwd_actuation(m, d, efc=efc)
         d = F.fwd_acceleration(m, d)
-        if "constraint" not in skip:
-            d = C.solve(m, d)
+        if efc is not None and "solver" not in skip:
+            d = C.solve(mm, d, efc=efc)
         else:
             d = d.replace(qacc=d.qacc_smooth)
         if "sensors" not in skip:
@@ -70,7 +83,7 @@ def main():
 
     base = timeit(jax.jit(lambda d: substep(d)), d0)
     print(f"full substep                 {base*1e3:8.2f} ms", flush=True)
-    for sk in ("collision", "constraint", "sensors",
+    for sk in ("ccd", "collision", "solver", "sensors",
                ("collision", "constraint", "sensors")):
         skips = (sk,) if isinstance(sk, str) else sk
         t = timeit(jax.jit(lambda d, s=skips: substep(d, s)), d0)
