@@ -69,9 +69,9 @@ def render_eval_video(env, policy_apply, params, rng, n_steps: int = 200,
     lo, hi = env.action_spec()
 
     def policy_fn(obs):
-        flat = batch_concat(obs)
-        dist = policy_apply(params, flat[None])
-        a = np.asarray(dist.mode())[0]
+        flat = batch_concat(obs, num_batch_dims=1)   # obs batched (B=1)
+        dist = policy_apply(params, flat)
+        a = np.asarray(dist.mode())
         return canonical_to_real(a, jnp.asarray(lo, jnp.float32),
                                  jnp.asarray(hi, jnp.float32))
 

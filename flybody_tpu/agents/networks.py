@@ -24,17 +24,24 @@ import numpy as np
 from flybody_tpu.agents.distributions import DiscreteValued, NormalDiag
 
 
-def batch_concat(obs: dict, keys: Sequence[str] | None = None):
-    """Concatenate an observation dict along the last axis, sorted by key
-    (acme tf2_utils.batch_concat ordering)."""
+def batch_concat(obs: dict, keys: Sequence[str] | None = None,
+                 num_batch_dims: int = 0):
+    """Flatten each observation beyond the leading `num_batch_dims` axes
+    and concatenate, sorted by key (acme tf2_utils.batch_concat
+    ordering). Multi-dim observations (camera images) flatten into the
+    vector; obs_layout's slices record their shapes for the conv
+    front-ends to unflatten. num_batch_dims=-1 concatenates along the
+    last axis without flattening (all items same rank)."""
     keys = sorted(obs.keys()) if keys is None else keys
     parts = []
     for k in keys:
         x = obs[k]
-        if x.ndim == 0:
-            x = x[None]
-        parts.append(x.reshape(x.shape[:-1] + (-1,))
-                     if x.ndim > 1 else x)
+        if num_batch_dims < 0:
+            parts.append(x if x.ndim else x[None])
+            continue
+        if x.ndim <= num_batch_dims:
+            x = x[..., None]
+        parts.append(x.reshape(x.shape[:num_batch_dims] + (-1,)))
     return jnp.concatenate(parts, axis=-1)
 
 
@@ -88,7 +95,8 @@ class PolicyNetwork(nn.Module):
 
     @nn.compact
     def __call__(self, obs):
-        x = obs if isinstance(obs, jnp.ndarray) else batch_concat(obs)
+        x = obs if isinstance(obs, jnp.ndarray) else batch_concat(
+            obs, num_batch_dims=-1)
         x = LayerNormMLP(self.layer_sizes, activate_final=True)(x)
         return NormalDiagHead(self.action_size,
                               init_scale=self.init_scale)(x)
@@ -104,7 +112,8 @@ class DistributionalCritic(nn.Module):
 
     @nn.compact
     def __call__(self, obs, action):
-        x = obs if isinstance(obs, jnp.ndarray) else batch_concat(obs)
+        x = obs if isinstance(obs, jnp.ndarray) else batch_concat(
+            obs, num_batch_dims=-1)
         if self.action_clip is not None:
             action = jnp.clip(action, self.action_clip[0],
                               self.action_clip[1])
@@ -134,6 +143,45 @@ class VisNetFly(nn.Module):
             x = nn.relu(x)
         x = x.reshape(x.shape[:-3] + (-1,))
         return nn.Dense(self.out_features)(x)
+
+
+class VisNetRodent(nn.Module):
+    """Egocentric-camera conv net (reference vnl_ray/agents/vis_net.py:
+    112-202): grayscale camera -> convs (2,s1)(4,s1)(8,s2)(16,s2) VALID
+    -> flatten -> linear feature, concatenated with the remaining
+    observations."""
+    out_features: int = 8
+    norm_mean: float = 77.0
+    norm_std: float = 56.0
+
+    @nn.compact
+    def __call__(self, camera):
+        # (..., H, W) grayscale (raycast eye) or (..., H, W, 3) RGB
+        if camera.ndim >= 3 and camera.shape[-1] == 3:
+            camera = jnp.mean(camera, axis=-1)
+        x = (camera - self.norm_mean) / self.norm_std
+        x = x[..., None]
+        for features, stride in ((2, 1), (4, 1), (8, 2), (16, 2)):
+            x = nn.Conv(features, (3, 3), strides=(stride, stride),
+                        padding="VALID")(x)
+            x = nn.relu(x)
+        x = x.reshape(x.shape[:-3] + (-1,))
+        return nn.Dense(self.out_features)(x)
+
+
+def _vis_features(eye_slices, obs, vis_features):
+    """Shared eye front-end: 2 slices = fly stereo eyes (VisNetFly),
+    1 slice = rodent egocentric camera (VisNetRodent)."""
+    views = []
+    spans = []
+    for (s, sz, shape) in eye_slices:
+        views.append(obs[..., s:s + sz].reshape(obs.shape[:-1] + shape))
+        spans.append((s, sz))
+    if len(views) == 2:
+        feat = VisNetFly(out_features=vis_features)(*views)
+    else:
+        feat = VisNetRodent(out_features=vis_features)(views[0])
+    return feat, _drop_slices(obs, spans)
 
 
 def obs_layout(example_obs: dict, task_keys: Sequence[str] = ()):
@@ -170,11 +218,8 @@ class VisionPolicy(nn.Module):
 
     @nn.compact
     def __call__(self, obs):
-        (ls, lsz, lshape), (rs, rsz, rshape) = self.eye_slices
-        left = obs[..., ls:ls + lsz].reshape(obs.shape[:-1] + lshape)
-        right = obs[..., rs:rs + rsz].reshape(obs.shape[:-1] + rshape)
-        feat = VisNetFly(out_features=self.vis_features)(left, right)
-        rest = _drop_slices(obs, [(ls, lsz), (rs, rsz)])
+        feat, rest = _vis_features(self.eye_slices, obs,
+                                   self.vis_features)
         x = jnp.concatenate([feat, rest], axis=-1)
         x = LayerNormMLP(self.layer_sizes, activate_final=True)(x)
         return NormalDiagHead(self.action_size,
@@ -192,11 +237,8 @@ class VisionCritic(nn.Module):
 
     @nn.compact
     def __call__(self, obs, action):
-        (ls, lsz, lshape), (rs, rsz, rshape) = self.eye_slices
-        left = obs[..., ls:ls + lsz].reshape(obs.shape[:-1] + lshape)
-        right = obs[..., rs:rs + rsz].reshape(obs.shape[:-1] + rshape)
-        feat = VisNetFly(out_features=self.vis_features)(left, right)
-        rest = _drop_slices(obs, [(ls, lsz), (rs, rsz)])
+        feat, rest = _vis_features(self.eye_slices, obs,
+                                   self.vis_features)
         action = jnp.clip(action, -1.0, 1.0)
         h = jnp.concatenate([feat, rest, action], axis=-1)
         h = LayerNormMLP(self.layer_sizes, activate_final=True)(h)

@@ -119,12 +119,18 @@ class DMPOTrainer:
             tx_wrap = ((lambda params: freeze_decoder_tx(params))
                        if cfg.freeze_decoder else None)
         elif cfg.network == "vision":
+            # fly: stereo eyes -> VisNetFly; rodent: single egocentric
+            # camera -> VisNetRodent (reference vis_net.py:30-109/112-202)
             eye_slices = tuple(self.obs_slices[k] for k in EYE_KEYS
                                if k in self.obs_slices)
             if len(eye_slices) != 2:
-                raise ValueError(
-                    f"vision network needs {EYE_KEYS} observations; "
-                    f"env has {sorted(self.obs_slices)}")
+                if "egocentric_camera" in self.obs_slices:
+                    eye_slices = (self.obs_slices["egocentric_camera"],)
+                else:
+                    raise ValueError(
+                        f"vision network needs {EYE_KEYS} or an "
+                        f"egocentric_camera observation; env has "
+                        f"{sorted(self.obs_slices)}")
             self.policy = VisionPolicy(action_size=self.action_size,
                                        eye_slices=eye_slices)
             self.critic = VisionCritic(eye_slices=eye_slices)

@@ -99,6 +99,15 @@ class Task:
                                             sensor_mean)
         return r, t, d, task_state
 
+    def reward_factors(self, model: Model, data: Data, task_state,
+                       sensor_mean) -> dict:
+        """Named per-step reward channels for the evaluator's reward-
+        decomposition plots (reference utils.py render_with_rewards /
+        last_reward_channels). Default: the scalar reward."""
+        r, _, _ = self.reward_term_discount(model, data, task_state,
+                                            sensor_mean)
+        return {"reward": r}
+
 
 class FlyEnv:
     """Pure functional batched environment: physics engine + a Task."""

@@ -28,7 +28,7 @@ _CON_SEL = {1: 8, 3: 24}
 
 
 def rodent_escape_bowl(time_limit: float = 20.0, dtype=jnp.float32,
-                       seed: int = 0):
+                       seed: int = 0, use_vision: bool = False):
     """Climb out of a bowl-shaped terrain (reference
     basic_rodent_2020.py:60-83)."""
     arena = ra.bowl_arena(size=20.0, seed=seed)
@@ -36,12 +36,14 @@ def rodent_escape_bowl(time_limit: float = 20.0, dtype=jnp.float32,
                                      spawn_pos=(0.0, 0.0, 0.06),
                                      con_sel=_CON_SEL)
     walker = RodentWalker(model)
-    task = rt.EscapeBowl(walker, terrain_size=20.0, time_limit=time_limit)
+    task = rt.EscapeBowl(walker, terrain_size=20.0, time_limit=time_limit,
+                         use_vision=use_vision)
     return FlyEnv(model, task, mj_model=mj, dtype=dtype)
 
 
 def rodent_run_gaps(time_limit: float = 30.0, contact_termination=True,
-                    dtype=jnp.float32, seed: int = 0):
+                    dtype=jnp.float32, seed: int = 0,
+                    use_vision: bool = False):
     """Run down a corridor with gaps (reference
     basic_rodent_2020.py:86-121)."""
     arena = ra.gaps_corridor(seed=seed)
@@ -52,12 +54,13 @@ def rodent_run_gaps(time_limit: float = 30.0, contact_termination=True,
     task = rt.RunThroughCorridor(
         walker, spawn_position=(5.0, 0.0), target_velocity=1.0,
         contact_termination=contact_termination,
-        terminate_at_height=-0.3, time_limit=time_limit)
+        terminate_at_height=-0.3, time_limit=time_limit,
+        use_vision=use_vision)
     return FlyEnv(model, task, mj_model=mj, dtype=dtype)
 
 
 def rodent_maze_forage(time_limit: float = 30.0, dtype=jnp.float32,
-                       seed: int = 0):
+                       seed: int = 0, use_vision: bool = False):
     """Find all targets in a maze (reference
     basic_rodent_2020.py:124-185)."""
     arena = ra.random_maze(seed=seed)
@@ -68,11 +71,13 @@ def rodent_maze_forage(time_limit: float = 30.0, dtype=jnp.float32,
     task = rt.ManyGoalsMaze(
         walker, spawn_positions=arena.spawn_positions,
         target_positions=arena.target_positions,
-        target_reward_scale=50.0, time_limit=time_limit)
+        target_reward_scale=50.0, time_limit=time_limit,
+        use_vision=use_vision)
     return FlyEnv(model, task, mj_model=mj, dtype=dtype)
 
 
-def rodent_two_touch(time_limit: float = 30.0, dtype=jnp.float32):
+def rodent_two_touch(time_limit: float = 30.0, dtype=jnp.float32,
+                     use_vision: bool = False):
     """Tap an orb, wait an interval, tap it again (reference
     basic_rodent_2020.py:188-222)."""
     arena = ra.floor_arena(size=(10.0, 10.0))
@@ -81,7 +86,8 @@ def rodent_two_touch(time_limit: float = 30.0, dtype=jnp.float32):
                                      con_sel=_CON_SEL)
     walker = RodentWalker(model)
     task = rt.TwoTouch(walker, target_area=(1.5, 1.5),
-                       target_type_reward=25.0, time_limit=time_limit)
+                       target_type_reward=25.0, time_limit=time_limit,
+                       use_vision=use_vision)
     return FlyEnv(model, task, mj_model=mj, dtype=dtype)
 
 

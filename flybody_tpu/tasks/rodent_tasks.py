@@ -49,10 +49,63 @@ class RodentTaskBase(Task):
     ctrl_dt = 0.02
     phys_dt = 0.001
 
-    def __init__(self, walker: RodentWalker, time_limit: float):
+    def __init__(self, walker: RodentWalker, time_limit: float,
+                 use_vision: bool = False, camera_size: int = 32):
         self.walker = walker
         self.time_limit = time_limit
         self.action_size = walker.action_size
+        self.use_vision = use_vision
+        self.camera_size = camera_size
+        if use_vision:
+            from flybody_tpu.ops import raycast
+            model = walker.model
+            # head-mounted forward camera (the reference rodent tasks'
+            # walker/egocentric_camera; dm_control rodent.py) rendered by
+            # the on-device raycaster over hfield + primitive geoms
+            self._cam_rays = raycast.camera_rays(90.0, camera_size,
+                                                 camera_size)
+            gt = np.asarray(model.geom_type)
+            gs = np.asarray(model.geom_size)
+            gb = np.asarray(model.geom_bodyid)
+            # exclude head-body geoms (the camera sits inside the skull)
+            # and keep the largest remaining primitives to bound cost
+            prim = np.nonzero((gt != 0) & (gt != 1)
+                              & (gb != walker.head_body_id))[0]
+            if len(prim):
+                order = np.argsort(-gs[prim].max(axis=-1))
+                prim = prim[order[:16]]
+            self._scene_cast, self._has_scene = \
+                raycast.make_scene_raycaster(model, prim)
+            self._height_fn = None
+            if model.nhfield:
+                gt = np.asarray(model.geom_type)
+                hgeom = int(np.nonzero(gt == 1)[0][0])   # GEOM_HFIELD
+                hpos = np.asarray(model.geom_pos)[hgeom]
+                self._height_fn = raycast.hfield_height_fn(
+                    model.hfield_data[0], model.hfield_size[0],
+                    jnp.asarray(hpos))
+            # camera frame in the head frame: -z (view dir) -> +x head,
+            # +y (up) -> +z head
+            self._cam_fix = np.array([[0.0, 0.0, -1.0],
+                                      [-1.0, 0.0, 0.0],
+                                      [0.0, 1.0, 0.0]])
+
+    def _vision_obs(self, model: Model, data: Data) -> dict:
+        if not self.use_vision:
+            return {}
+        from flybody_tpu.ops import raycast
+        head = self.walker.head_body_id
+        dtype = data.qpos.dtype
+        # slightly ahead of the skull along the head +x (snout) axis
+        cam_pos = data.xpos[head] + data.xmat[head] @ jnp.asarray(
+            [0.035, 0.0, 0.0], dtype)
+        cam_mat = data.xmat[head] @ jnp.asarray(self._cam_fix, dtype)
+        img = raycast.render_eye(
+            cam_pos, cam_mat, self._cam_rays, self._height_fn,
+            max_dist=4.0,
+            scene_cast=self._scene_cast if self._has_scene else None,
+            geom_xpos=data.geom_xpos, geom_xmat=data.geom_xmat)
+        return {"egocentric_camera": img}
 
     def action_bounds(self, model: Model):
         return self.walker.action_bounds(model)
@@ -81,6 +134,7 @@ class RodentTaskBase(Task):
         obs = self.walker.observables(model, data, sensor_mean)
         obs["origin"] = self.walker.origin_obs(data)
         obs["task_logic"] = jnp.zeros((1,), data.qpos.dtype)
+        obs.update(self._vision_obs(model, data))
         return obs
 
     def _fatal(self, data: Data):
@@ -101,8 +155,9 @@ class EscapeBowl(RodentTaskBase):
                  target_velocity: float = 2.0, aliveness_reward: float = 0.1,
                  reward_termination: bool = True,
                  reward_threshold: float = 0.1, reward_margin: float = 0.01,
-                 reward_stale_timestep: int = 300, time_limit: float = 20.0):
-        super().__init__(walker, time_limit)
+                 reward_stale_timestep: int = 300, time_limit: float = 20.0,
+                 **base_kwargs):
+        super().__init__(walker, time_limit, **base_kwargs)
         self.terrain_size = terrain_size
         self.vel = target_velocity
         self.aliveness_reward = aliveness_reward
@@ -167,8 +222,8 @@ class RunThroughCorridor(RodentTaskBase):
                  reward_termination: bool = False,
                  reward_threshold: float = 0.5,
                  reward_stale_timestep: int = 150,
-                 time_limit: float = 30.0):
-        super().__init__(walker, time_limit)
+                 time_limit: float = 30.0, **base_kwargs):
+        super().__init__(walker, time_limit, **base_kwargs)
         self.spawn_position = spawn_position
         self.vel = target_velocity
         self.contact_termination = contact_termination
@@ -232,8 +287,8 @@ class ManyGoalsMaze(RodentTaskBase):
                  reward_threshold: float = 0.0,
                  reward_margin: float = 0.01,
                  reward_stale_timestep: int = 300,
-                 time_limit: float = 30.0):
-        super().__init__(walker, time_limit)
+                 time_limit: float = 30.0, **base_kwargs):
+        super().__init__(walker, time_limit, **base_kwargs)
         self.spawn_positions = np.asarray(spawn_positions, np.float32)
         self.target_positions = np.asarray(target_positions, np.float32)
         self.target_reward_scale = target_reward_scale
@@ -317,8 +372,8 @@ class TwoTouch(RodentTaskBase):
                  reward_termination: bool = True,
                  reward_threshold: float = 1.0,
                  reward_stale_timestep: int = 300,
-                 time_limit: float = 30.0):
-        super().__init__(walker, time_limit)
+                 time_limit: float = 30.0, **base_kwargs):
+        super().__init__(walker, time_limit, **base_kwargs)
         self.target_area = target_area
         self.target_reward = target_type_reward
         self.z_height = z_height

@@ -128,8 +128,7 @@ class WalkImitation(Task):
             fly_quat, ref_quat).reshape(-1)
         return obs
 
-    def reward_term_discount(self, model: Model, data: Data, ts,
-                             sensor_mean):
+    def _deep_mimic_factors(self, model: Model, data: Data, ts):
         walker_ft = rw.get_walker_features(
             model, data, self.joint_dofadr, self.mocap_joints,
             self.mocap_sites, self.root_qposadr)
@@ -139,6 +138,17 @@ class WalkImitation(Task):
         ref_ft = rw.get_reference_features(ref, step)
         factors = rw.reward_factors_deep_mimic(
             walker_ft, ref_ft, weights=(20.0, 1.0, 1.0, 1.0))
+        return factors, walker_ft, ref_ft
+
+    def reward_factors(self, model: Model, data: Data, ts, sensor_mean):
+        factors, _, _ = self._deep_mimic_factors(model, data, ts)
+        return {"com": factors[0], "qvel": factors[1],
+                "end_effectors": factors[2], "joints": factors[3]}
+
+    def reward_term_discount(self, model: Model, data: Data, ts,
+                             sensor_mean):
+        factors, walker_ft, ref_ft = self._deep_mimic_factors(
+            model, data, ts)
         reward = jnp.prod(factors)
 
         linvel = jnp.linalg.norm(

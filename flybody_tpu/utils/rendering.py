@@ -116,3 +116,90 @@ def rollout_and_render(env, policy_fn, rng, n_steps=100, camera="track",
         frames.append(render_frame(env.model, state.data, cam_pos, cam_mat,
                                    width=width, height=height))
     return frames
+
+
+def _plot_reward_strip(history: dict, idx: int, width: int, height: int,
+                       terminated: bool = False):
+    """Reward-channel line plot as an (height, width, 3) uint8 array
+    (reference vnl_ray/utils.py plot_reward :200-244, Agg backend)."""
+    import matplotlib
+    orig = matplotlib.get_backend()
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    try:
+        fig = plt.figure(figsize=(width / 100.0, height / 100.0), dpi=100)
+        ax = fig.add_subplot(111)
+        for key, vals in history.items():
+            ax.plot(vals[: idx + 1], label=key)
+            ax.scatter([idx], [vals[idx]])
+        if terminated:
+            ax.axvline(x=idx, color="r", linestyle="-")
+        ax.set_ylim(-0.05, 1.1)
+        ax.set_xlim(0, max(len(next(iter(history.values()))) - 1, 1))
+        ax.legend(loc="upper right", fontsize=6)
+        fig.tight_layout()
+        fig.canvas.draw()
+        buf = np.frombuffer(fig.canvas.buffer_rgba(), dtype=np.uint8)
+        w, h = fig.canvas.get_width_height()
+        img = buf.reshape(h, w, 4)[..., :3].copy()
+        plt.close(fig)
+        return img
+    finally:
+        matplotlib.use(orig)
+
+
+def render_with_rewards_info(env, policy_fn, rng, n_steps=100,
+                             width=320, height=240):
+    """Policy rollout collecting frames + per-step reward channels
+    (reference utils.render_with_rewards_info :139-165)."""
+    import jax
+
+    state = jax.jit(env.reset)(rng[None] if rng.ndim == 1 else rng)
+    step = jax.jit(env.autoreset_step)
+    model, task = env.model, env.task
+
+    def _factors(data, ts, sm):
+        return jax.vmap(
+            lambda d, t, s: task.reward_factors(model, d, t, s),
+            in_axes=(-1, -1, -1), out_axes=0)(data, ts, sm)
+
+    factors_fn = jax.jit(_factors)
+    frames, channels, reset_idx = [], [], []
+    thorax = env.task.walker.thorax_id
+    for i in range(n_steps):
+        action = policy_fn(state.obs)
+        state = step(state, action)
+        fac = factors_fn(state.data, state.task_state,
+                         state.data.sensordata)
+        channels.append({k: float(np.asarray(v)[0])
+                         for k, v in fac.items()})
+        if bool(np.asarray(state.done)[0]):
+            reset_idx.append(i)
+        target = np.asarray(state.data.xpos[thorax, :, 0])
+        cam_pos = target + np.array([0.6, 0.6, 0.35])
+        fwd = target - cam_pos
+        fwd = fwd / np.linalg.norm(fwd)
+        right = np.cross(fwd, [0.0, 0.0, 1.0])
+        right /= np.linalg.norm(right)
+        up = np.cross(right, fwd)
+        cam_mat = np.stack([right, up, -fwd], axis=1)
+        frames.append(render_frame(env.model, state.data, cam_pos, cam_mat,
+                                   width=width, height=height))
+    return frames, reset_idx, channels
+
+
+def render_with_rewards(env, policy_fn, rng, n_steps=100,
+                        width=320, height=240):
+    """Frames with a reward-decomposition plot composited alongside
+    (reference utils.render_with_rewards :168-197)."""
+    frames, reset_idx, channels = render_with_rewards_info(
+        env, policy_fn, rng, n_steps=n_steps, width=width, height=height)
+    keys = channels[0].keys()
+    history = {k: np.array([c[k] for c in channels]) for k in keys}
+    out = []
+    resets = set(reset_idx)
+    for i, frame in enumerate(frames):
+        strip = _plot_reward_strip(history, i, width=width, height=height,
+                                   terminated=i in resets)
+        out.append(np.concatenate([frame, strip], axis=1))
+    return out

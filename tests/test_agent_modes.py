@@ -190,3 +190,25 @@ def test_vision_policy_critic_shapes():
     names = "/".join("/".join(map(str, k)) for k in
                      __import__("flax").traverse_util.flatten_dict(pp))
     assert "Conv" in names
+
+
+@pytest.mark.slow
+def test_vision_mode_trains_rodent():
+    """End-to-end vision-mode smoke on the rodent egocentric camera
+    (VisNetRodent front-end; reference intention_network_factory +
+    vis_net.py composition): one full fused rollout+DMPO iteration with
+    finite metrics."""
+    from flybody_tpu.rodent_envs import rodent_two_touch
+
+    env = rodent_two_touch(time_limit=0.1, use_vision=True)
+    cfg = TrainerConfig(
+        num_envs=2, unroll_length=4, replay_capacity=64,
+        min_replay_size=4, samples_per_insert=1.0,
+        network="vision",
+        dmpo=DMPOConfig(batch_size=4, n_step=2, num_samples=3))
+    trainer = DMPOTrainer(env, cfg)
+    loop = trainer.init(jax.random.PRNGKey(0))
+    step = jax.jit(trainer.train_iteration)
+    loop, metrics = step(loop)
+    for k, v in metrics.items():
+        assert np.all(np.isfinite(np.asarray(v))), k

@@ -178,3 +178,61 @@ def test_bowl_arena_shape():
     # center flat (inside the tanh rim), rim raised
     assert data[50, 50] < 0.05
     assert data[:5, :].max() > 0.3
+
+
+@pytest.mark.slow
+def test_rodent_egocentric_camera_and_visnet():
+    """Rodent vision stack (reference vis_net.py VisNetRodent :112-202 +
+    the walker/egocentric_camera the rodent tasks consume): the two-touch
+    env with use_vision=True emits a raycast egocentric camera image and
+    the vision-mode networks consume it end-to-end."""
+    from flybody_tpu.rodent_envs import rodent_two_touch
+    from flybody_tpu.agents.networks import (VisionPolicy, VisNetRodent,
+                                             batch_concat, obs_layout)
+
+    env = rodent_two_touch(use_vision=True)
+    state = jax.jit(env.reset)(jax.random.split(jax.random.PRNGKey(0), 2))
+    img = state.obs["egocentric_camera"]
+    assert img.shape == (2, 32, 32)
+    assert bool(jnp.all(jnp.isfinite(img)))
+    assert float(jnp.max(img)) <= 255.0 and float(jnp.min(img)) >= 0.0
+    # image must not be constant (scene structure visible)
+    assert float(jnp.std(img)) > 1.0
+
+    # VisNetRodent consumes the camera inside the vision policy
+    keys, slices = obs_layout(state.obs)
+    flat = batch_concat(state.obs, keys, num_batch_dims=1)
+    policy = VisionPolicy(action_size=env.action_size,
+                          eye_slices=(slices["egocentric_camera"],))
+    params = policy.init(jax.random.PRNGKey(1), flat)
+    dist = policy.apply(params, flat)
+    assert dist.mean.shape == (2, env.action_size)
+    assert bool(jnp.all(jnp.isfinite(dist.mean)))
+
+    feat = VisNetRodent().apply(
+        VisNetRodent().init(jax.random.PRNGKey(2), img), img)
+    assert feat.shape == (2, 8)
+
+
+@pytest.mark.slow
+def test_walk_humanoid_env():
+    """CMU humanoid mocap-tracking env (reference walk_humanoid,
+    basic_rodent_2020.py:279-363): builds, resets, steps with random
+    actions, observations stay finite."""
+    from flybody_tpu.rodent_envs import walk_humanoid
+
+    env = walk_humanoid()
+    B = 2
+    rng = jax.random.PRNGKey(3)
+    state = jax.jit(env.reset)(jax.random.split(rng, B))
+    step = jax.jit(env.autoreset_step)
+    lo, hi = env.action_spec()
+    for _ in range(3):
+        rng, k = jax.random.split(rng)
+        act = jax.random.uniform(k, (B, env.action_size), minval=lo,
+                                 maxval=hi, dtype=jnp.float32)
+        state = step(state, act)
+    flat = jnp.concatenate([v.reshape(B, -1) for v in state.obs.values()],
+                           axis=1)
+    assert bool(jnp.all(jnp.isfinite(flat)))
+    assert bool(jnp.all(jnp.isfinite(state.reward)))

@@ -66,3 +66,25 @@ def test_playback_render_frames():
     assert f.shape == (3, 48, 64, 3) and f.dtype == np.uint8
     # scene visible: not a constant image
     assert f.std() > 1.0
+
+
+@pytest.mark.slow
+def test_render_with_rewards_overlay():
+    """Reward-decomposition overlay rendering (reference
+    utils.py render_with_rewards :139-244): frames widen by the plot
+    strip and reward channels are recorded per step."""
+    import numpy as np
+    from flybody_tpu.fly_envs import walk_on_ball
+    from flybody_tpu.utils.rendering import render_with_rewards
+    import jax
+
+    env = walk_on_ball()
+    lo, hi = env.action_spec()
+    mid = ((lo + hi) / 2).astype("float32")
+
+    frames = render_with_rewards(
+        env, lambda obs: mid[None], jax.random.PRNGKey(0), n_steps=3,
+        width=96, height=72)
+    assert len(frames) == 3
+    assert frames[0].shape == (72, 2 * 96, 3)
+    assert frames[0].dtype == np.uint8
