@@ -132,6 +132,7 @@ class Limits:
     R: jnp.ndarray             # (nl, B) regularizer (1/D)
     active: jnp.ndarray        # (nl, B)
     diag: jnp.ndarray          # (nl, B) approx diag(A + R) (invweight + R)
+    pos: jnp.ndarray           # (nl, B) margin-adjusted limit distance
 
 
 @dataclasses.dataclass
@@ -149,7 +150,8 @@ class ConGroup:
 
 
 jax.tree_util.register_dataclass(
-    Limits, data_fields=["sign", "aref", "R", "active", "diag"],
+    Limits,
+    data_fields=["sign", "aref", "R", "active", "diag", "pos"],
     meta_fields=["dadr"])
 jax.tree_util.register_dataclass(
     ConGroup,
@@ -179,7 +181,7 @@ def _limit_rows(m: Model, d: Data, meta: EfcMeta) -> Limits | None:
     R = jnp.maximum((1.0 - imp) / imp * invweight, 1e-12)
     return Limits(dadr=dadr, sign=sign, aref=aref, R=R,
                   active=(pos < 0.0).astype(q.dtype),
-                  diag=invweight + R)
+                  diag=invweight + R, pos=pos)
 
 
 def _contact_groups(m: Model, d: Data, meta: EfcMeta) -> list[ConGroup]:
@@ -267,16 +269,25 @@ def solve(m: Model, d: Data, iterations: int | None = None,
         return d.replace(qacc=d.qacc_smooth,
                          qfrc_constraint=jnp.zeros_like(d.qvel))
     lim, groups = efc if efc is not None else make_efc(m, d, meta)
-    from flybody_tpu.physics import solver
-    # fixed iteration count (static shapes, no early exit on TPU). With
-    # Jacobi preconditioning + warm starting, ~16 APGD iterations reach
-    # MuJoCo-Newton-level accuracy for in-simulation contact states
-    # (tests pass explicit higher counts for strict oracle comparisons).
-    niter = iterations if iterations is not None else min(
-        m.opt.solver_iterations, 16)
-    f_lim, f_groups = solver.solve_dual(
-        m, d, lim, groups, iterations=niter,
-        noslip_iterations=m.opt.noslip_iterations)
+    # fixed iteration count (static shapes, no early exit on TPU); the
+    # per-method defaults reflect measured warm-started convergence
+    # (dense ADMM reaches <1% qacc error in ~20 iterations; matrix-free
+    # APGD needs ~64 — tests pass explicit higher counts for strict
+    # oracle comparisons).
+    if m.opt.contact_solver == "admm":
+        from flybody_tpu.physics import solver_dense
+        niter = iterations if iterations is not None else min(
+            m.opt.solver_iterations, 20)
+        f_lim, f_groups = solver_dense.solve_dual_dense(
+            m, d, lim, groups, iterations=niter,
+            noslip_iterations=m.opt.noslip_iterations)
+    else:
+        from flybody_tpu.physics import solver
+        niter = iterations if iterations is not None else min(
+            m.opt.solver_iterations, 16)
+        f_lim, f_groups = solver.solve_dual(
+            m, d, lim, groups, iterations=niter,
+            noslip_iterations=m.opt.noslip_iterations)
 
     # qfrc_constraint = J^T f
     qfrc = jnp.zeros_like(d.qvel)

@@ -202,7 +202,8 @@ def _sensor_code(mj_type: int) -> int:
 
 
 def put_model(m, dtype=jnp.float32, con_sel: dict | None = None,
-              ccd_budget: int = 128) -> Model:
+              ccd_budget: int = 128,
+              contact_solver: str = "apgd") -> Model:
     """Convert a compiled mjModel into the engine's Model pytree.
 
     con_sel: optional {condim: K} overrides for the per-condim active
@@ -310,6 +311,7 @@ def put_model(m, dtype=jnp.float32, con_sel: dict | None = None,
         ls_iterations=min(int(m.opt.ls_iterations), 16),
         noslip_iterations=int(m.opt.noslip_iterations),
         has_fluid=has_fluid,
+        contact_solver=contact_solver,
     )
 
     wrap_jntid = np.zeros(m.nwrap, dtype=np.int32)

@@ -168,7 +168,7 @@ def pytree(meta: tuple[str, ...] = ()):
 
 
 @pytree(meta=("integrator", "cone", "solver_iterations", "ls_iterations",
-              "noslip_iterations", "has_fluid"))
+              "noslip_iterations", "has_fluid", "contact_solver"))
 class Option:
     """Simulation options (mjOption subset)."""
 
@@ -186,6 +186,7 @@ class Option:
     ls_iterations: int
     noslip_iterations: int
     has_fluid: bool
+    contact_solver: str = "apgd"   # "apgd" (matrix-free) | "admm" (dense)
 
 
 _MODEL_META = (
