@@ -113,8 +113,11 @@ def make_walk_on_ball(claw_friction: float = 1.0, time_limit: float = 2.0,
     from flybody_tpu.physics import io_mj
     # tight active islands: the ball scene has <=16 simultaneous
     # claw/tarsus-ball contacts; condim-1 self-contact pairs are rare
+    # tight budgets for the production env: the center-line support gate
+    # sees ~30 hot convex pairs on the ball scene (oracle-grade default
+    # is 128; missing a grazing pair costs a 1-substep pop, not NaNs)
     model = io_mj.put_model(mj_model, dtype=dtype,
-                            con_sel={1: 8, 3: 16})
+                            con_sel={1: 8, 3: 16}, ccd_budget=64)
     walker = FlyWalker(model, amap)
     task = WalkOnBall(walker, time_limit=time_limit)
     return FlyEnv(model, task, mj_model=mj_model, dtype=dtype)
