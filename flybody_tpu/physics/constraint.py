@@ -274,13 +274,14 @@ def solve(m: Model, d: Data, iterations: int | None = None,
     # (dense ADMM reaches <1% qacc error in ~20 iterations; matrix-free
     # APGD needs ~64 — tests pass explicit higher counts for strict
     # oracle comparisons).
-    if m.opt.contact_solver == "admm":
+    if m.opt.contact_solver in ("admm", "admm_kernel"):
         from flybody_tpu.physics import solver_dense
         niter = iterations if iterations is not None else min(
             m.opt.solver_iterations, 20)
         f_lim, f_groups = solver_dense.solve_dual_dense(
             m, d, lim, groups, iterations=niter,
-            noslip_iterations=m.opt.noslip_iterations)
+            noslip_iterations=m.opt.noslip_iterations,
+            use_kernel=m.opt.contact_solver == "admm_kernel")
     else:
         from flybody_tpu.physics import solver
         niter = iterations if iterations is not None else min(

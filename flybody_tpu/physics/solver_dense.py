@@ -149,9 +149,16 @@ def _warm_flat(ls, groups, d, dtype):
 
 def solve_dual_dense(m: Model, d: Data, lim, groups,
                      iterations: int = 20, noslip_iterations: int = 0,
-                     rho: float = 10.0, alpha: float = 1.9):
+                     rho: float = 10.0, alpha: float = 1.9,
+                     use_kernel: bool = False):
     """Returns (f_lim (nl, B) | None, [f_group (K, dim, B)]) like
-    solver.solve_dual, computed by dense ADMM (over-relaxation alpha)."""
+    solver.solve_dual, computed by dense ADMM (over-relaxation alpha).
+
+    use_kernel: run the iteration loop in the fused Pallas kernel
+    (ops/admm_kernel.py) with the INVERTED scaled operator resident in
+    VMEM — one HBM read of the operator for all iterations instead of
+    one per iteration. Requires the flat row layout to be
+    [nonneg rows | condim-3 cones] (asserted) and rows <= 256."""
     dtype = d.qpos.dtype
     nv, B = d.qvel.shape
 
@@ -188,29 +195,61 @@ def solve_dual_dense(m: Model, d: Data, lim, groups,
         (Rreg * s * s).T)
     bs = b * s
 
-    rho = jnp.asarray(rho, dtype)
-    alpha = jnp.asarray(alpha, dtype)
+    rho_a = jnp.asarray(rho, dtype)
+    alpha_a = jnp.asarray(alpha, dtype)
     Mf = SA + jnp.zeros_like(SA).at[
-        :, jnp.arange(rows), jnp.arange(rows)].add(rho)
+        :, jnp.arange(rows), jnp.arange(rows)].add(rho_a)
     fac = LA.cho_factor(Mf)
 
-    def lin_solve(rhs):                           # rhs (rows, B)
-        return LA.cho_solve(fac, rhs.T).T
+    z0 = _warm_flat(ls, groups, d, dtype) / jnp.maximum(s, 1e-30)
 
-    # ---- warm start (scaled space: f = s * f_scaled)
-    z = _warm_flat(ls, groups, d, dtype) / jnp.maximum(s, 1e-30)
-    z = _proj_groups(ls, groups, z)
-    u = jnp.zeros_like(z)
+    if use_kernel:
+        # flat layout must be [nonneg rows | condim-3 cones]
+        kl = (ls.K if ls is not None else 0)
+        kc = 0
+        seen_cone = False
+        mus = []
+        for g in groups:
+            ndim = min(g.condim, 3)
+            if ndim == 1:
+                assert not seen_cone, "condim-1 group after a cone group"
+                kl += g.K
+            else:
+                assert ndim == 3, "admm kernel supports condim 1/3 only"
+                seen_cone = True
+                kc += g.K
+                mus.append(g.mu)
+        if kc == 0 or rows > 256:
+            use_kernel = False     # kernel VMEM budget / layout limits
+    if use_kernel:
+        from flybody_tpu.ops import admm_kernel as AK
+        mu = jnp.concatenate(mus, axis=0)
+        # inverted scaled operator (rows solves against the identity);
+        # cond(Mf) <= ~(1 + lam_max/rho) — safe to invert explicitly
+        eye = jnp.broadcast_to(jnp.eye(rows, dtype=dtype), Mf.shape)
+        W = jnp.moveaxis(LA.cho_solve(fac, eye), 0, -1)  # (rows, rows, B)
+        z = AK.admm_iterate(
+            W.astype(jnp.float32), bs.astype(jnp.float32),
+            z0.astype(jnp.float32), mu.astype(jnp.float32),
+            active.astype(jnp.float32),
+            kl=kl, kc=kc, iterations=iterations, rho=float(rho),
+            alpha=float(alpha)).astype(dtype)
+    else:
+        def lin_solve(rhs):                       # rhs (rows, B)
+            return LA.cho_solve(fac, rhs.T).T
 
-    def body(carry, _):
-        z, u = carry
-        f = lin_solve(bs + rho * (z - u))
-        fr = alpha * f + (1.0 - alpha) * z        # over-relaxation
-        z_new = _proj_groups(ls, groups, fr + u)
-        u_new = u + fr - z_new
-        return (z_new, u_new), None
+        z = _proj_groups(ls, groups, z0)
+        u = jnp.zeros_like(z)
 
-    (z, u), _ = jax.lax.scan(body, (z, u), None, length=iterations)
+        def body(carry, _):
+            z, u = carry
+            f = lin_solve(bs + rho_a * (z - u))
+            fr = alpha_a * f + (1.0 - alpha_a) * z   # over-relaxation
+            z_new = _proj_groups(ls, groups, fr + u)
+            u_new = u + fr - z_new
+            return (z_new, u_new), None
+
+        (z, u), _ = jax.lax.scan(body, (z, u), None, length=iterations)
     f_flat = z * s                                # unscale
 
     # ---- noslip post-pass: tangentials with R = 0, normals frozen,

@@ -110,3 +110,43 @@ def test_admm_trajectory_tracks_mujoco():
     err = np.max(np.abs(np.asarray(du.qpos) - mjd.qpos))
     assert np.all(np.isfinite(np.asarray(du.qpos)))
     assert err < 5e-3, err
+
+
+def test_admm_kernel_matches_xla_path():
+    """The fused Pallas iteration kernel (interpret mode off-TPU)
+    reproduces the XLA ADMM path to bf16-operator accuracy on a real
+    contact state."""
+    xml = """
+<mujoco>
+  <option cone="elliptic" timestep="1e-3" noslip_iterations="0"/>
+  <worldbody>
+    <geom type="plane" size="2 2 .1"/>
+    <body pos="0 0 0.06"><freejoint/>
+      <geom type="ellipsoid" size=".1 .07 .05" mass="1"/></body>
+    <body pos="0.12 0 0.08"><freejoint/>
+      <geom type="cylinder" size=".04 .06" mass=".5"/></body>
+  </worldbody>
+</mujoco>"""
+    mj_model = mujoco.MjModel.from_xml_string(xml)
+    model = io_mj.put_model(mj_model, dtype=jnp.float32)
+    d = io_mj.make_data(model, B=4, dtype=jnp.float32)
+    step = jax.jit(F.step)
+    for _ in range(30):        # settle into contact
+        d = step(model, d)
+    dd = F.fwd_position(model, d)
+    dd = F.fwd_velocity(model, dd)
+    efc = CN.make_efc(model, dd)
+    lim, groups = efc
+    dd = F.fwd_actuation(model, dd, efc=efc)
+    dd = F.fwd_acceleration(model, dd)
+
+    outs = {}
+    for kern in (False, True):
+        fl, fg = SD.solve_dual_dense(model, dd, lim, groups,
+                                     iterations=25, use_kernel=kern)
+        outs[kern] = (fl, fg)
+    for fa, fb in zip(jax.tree.leaves(outs[False]),
+                      jax.tree.leaves(outs[True])):
+        scale = float(jnp.max(jnp.abs(fa))) + 1e-6
+        np.testing.assert_allclose(np.asarray(fa) / scale,
+                                   np.asarray(fb) / scale, atol=2e-2)
