@@ -47,10 +47,16 @@ def _sigmoid(x, value_at_1: float, sigmoid: str):
 
 def tolerance(x, bounds=(0.0, 0.0), margin=0.0, sigmoid="gaussian",
               value_at_margin=_DEFAULT_VALUE_AT_MARGIN):
-    """Reward 1 inside `bounds`, decaying through `margin` outside."""
+    """Reward 1 inside `bounds`, decaying through `margin` outside.
+
+    margin may be a TRACED array (e.g. per-env task targets, as in
+    vision_guided_flight's speed factors), so the zero-margin hard-cutoff
+    case is a jnp.where, not a Python branch."""
     lower, upper = bounds
     in_bounds = jnp.logical_and(lower <= x, x <= upper)
-    if margin == 0:
-        return jnp.where(in_bounds, 1.0, 0.0)
-    d = jnp.where(x < lower, lower - x, x - upper) / margin
-    return jnp.where(in_bounds, 1.0, _sigmoid(d, value_at_margin, sigmoid))
+    margin = jnp.asarray(margin)
+    d = (jnp.where(x < lower, lower - x, x - upper)
+         / jnp.where(margin == 0, 1.0, margin))
+    soft = _sigmoid(d, value_at_margin, sigmoid)
+    outside = jnp.where(margin == 0, 0.0, soft)
+    return jnp.where(in_bounds, 1.0, outside)

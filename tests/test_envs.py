@@ -59,3 +59,20 @@ def test_obs_reasonable_at_rest(env):
     state = env.reset(jax.random.split(jax.random.PRNGKey(0), 1))
     # world_zaxis of an upright fly ~ +z
     assert float(state.obs["world_zaxis"][0, 2]) > 0.9
+
+
+def test_remove_vision_wrapper():
+    """Reference RemoveVisionWrapper analog (vnl_ray/wrapper.py:92-108):
+    eye observations disappear; stepping still works."""
+    from flybody_tpu.envs.wrappers import remove_vision
+    from flybody_tpu.fly_envs import vision_guided_flight
+
+    env = remove_vision(vision_guided_flight(bumps_or_trench="bumps"))
+    state = jax.jit(env.reset)(jax.random.split(jax.random.PRNGKey(0), 2))
+    assert "left_eye" not in state.obs and "right_eye" not in state.obs
+    lo, hi = env.action_spec()
+    act = jnp.broadcast_to(jnp.asarray((lo + hi) / 2, jnp.float32),
+                           (2, env.action_size))
+    state = jax.jit(env.autoreset_step)(state, act)
+    assert "left_eye" not in state.obs
+    assert bool(jnp.all(jnp.isfinite(state.reward)))
