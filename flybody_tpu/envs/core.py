@@ -186,9 +186,10 @@ class FlyEnv:
         step_idx = state.step_idx + 1
         truncated = step_idx >= self.episode_steps
         done = jnp.logical_or(terminated, truncated)
+        reward = jnp.asarray(reward, self.dtype)
         return EnvState(
             data=data, obs=obs,
-            reward=jnp.asarray(reward, self.dtype),
+            reward=reward,
             done=done,
             discount=jnp.asarray(discount, self.dtype),
             step_idx=step_idx, rng=state.rng, task_state=task_state,

@@ -123,7 +123,8 @@ class WingBeatPatternGenerator:
         step = (state.step + 1) % self.cycle_len[state.freq_idx]
         f = jnp.where(self.ctrl_filter == 0.0, ctrl_freq,
                       state.ctrl_freq * self.rate
-                      + ctrl_freq * (1.0 - self.rate))
+                      + ctrl_freq * (1.0 - self.rate)
+                      ).astype(state.ctrl_freq.dtype)
         idx_new = jnp.argmin(jnp.abs(self.beat_freqs_j - f)).astype(jnp.int32)
         changed = idx_new != state.freq_idx
         cur_phase = self.phase_table[state.freq_idx, step] % 1.0
