@@ -16,7 +16,6 @@ from __future__ import annotations
 from typing import Sequence
 
 import flax.linen as nn
-import jax
 import jax.numpy as jnp
 
 from flybody_tpu.agents.distributions import NormalDiag

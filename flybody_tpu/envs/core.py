@@ -24,7 +24,6 @@ envs:
 
 from __future__ import annotations
 
-import dataclasses
 from typing import Any
 
 import numpy as np

@@ -37,8 +37,7 @@ class HumanoidWalker(RodentWalker):
 
     def appendages_pos(self, data):
         from flybody_tpu.math import quaternions as mq
-        import jax.numpy as jnp
-
+        
         tips = data.xpos[self.end_effector_bodies]
         root_pos = data.xpos[self.root_body_id]
         root_quat = data.xquat[self.root_body_id]

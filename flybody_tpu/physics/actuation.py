@@ -21,7 +21,6 @@ import numpy as np
 
 import jax.numpy as jnp
 
-from flybody_tpu.math import bquat as bq
 from flybody_tpu.physics import types as T
 from flybody_tpu.physics.types import Data, Model
 

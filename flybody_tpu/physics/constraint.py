@@ -24,7 +24,6 @@ model); reference model solref/solimp at vnl_ray fruitfly.xml defaults.
 from __future__ import annotations
 
 import dataclasses
-from typing import Any
 
 import numpy as np
 

@@ -42,7 +42,6 @@ import dataclasses
 from typing import Any
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 
 # Joint types (mjtJoint order kept for converter simplicity).

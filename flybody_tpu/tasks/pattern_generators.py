@@ -14,7 +14,6 @@ A synthetic one-cycle drosophila-like base pattern ships with the framework
 
 from __future__ import annotations
 
-import dataclasses
 
 import numpy as np
 

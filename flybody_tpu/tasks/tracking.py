@@ -38,7 +38,6 @@ import jax.numpy as jnp
 
 from flybody_tpu.math import quaternions as mq
 from flybody_tpu.envs.core import Task
-from flybody_tpu.physics import types as T
 from flybody_tpu.physics.types import Data, Model
 from flybody_tpu.tasks import tracking_rewards as tr
 
