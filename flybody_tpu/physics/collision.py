@@ -374,26 +374,39 @@ CCD_ITERS = 32
 
 
 def _ccd_stage(m: Model, d: Data, dtype):
-    """Gated exact-convex narrowphase: bounding-sphere distances over all
-    nccd candidate pairs -> top-ccd_budget lanes per env -> ccd support
-    minimization on the selected lanes only. Returns rows in the same
-    (dist, pos, nrm, stat8, simp5, sel) layout the analytic groups use."""
+    """Gated exact-convex narrowphase, per kink-structure class.
+
+    For each class segment (ccd_classes: smooth / one-axis / two-axis
+    pair pools): conservative center-line support-gap gating selects the
+    class budget of lanes per env, then ccd.narrowphase runs with the
+    class's static axis flags — smooth pools pay ONE PGD run, only the
+    two-axis pool pays the full candidate set (circle runs + poles +
+    crosses). Returns per-class row tuples in class order, matching the
+    (3, budget) groups efc_meta appends.
+
+    The gate d_gate = |c| - h1(u) - h2(-u) along the center line u is
+    -f(u) for one support direction, hence a LOWER bound of the signed
+    distance (never wrongly excludes a pair) and ~4x tighter than
+    bounding spheres for the fly's elongated shapes (measured: 29 vs 115
+    gate-hot pairs at the standing pose)."""
     from flybody_tpu.physics import ccd as ccd_mod
 
-    N = m.ccd_budget
-    g1 = np.asarray(m.ccd_geom1)
-    g2 = np.asarray(m.ccd_geom2)
-    c1 = d.geom_xpos[g1]                       # (nccd, 3, B) static gather
-    c2 = d.geom_xpos[g2]
-    # center-line support gap: d_gate = |c| - h1(u) - h2(-u) with
-    # u = (c2-c1)/|c|. This is -f(u) for one direction, hence a LOWER
-    # bound of the signed distance (never wrongly excludes a pair) and
-    # ~4x tighter than bounding spheres for the fly's elongated shapes
-    # (measured: 29 vs 115 gate-hot pairs at the standing pose).
-    cc = c2 - c1
-    cn = jnp.sqrt(jnp.sum(cc * cc, axis=1, keepdims=True) + 1e-20)
-    u = cc / cn
-    core = m.ccd_core.astype(dtype)            # (nccd, 10)
+    g1_all = np.asarray(m.ccd_geom1)
+    g2_all = np.asarray(m.ccd_geom2)
+    b1f = jnp.asarray(np.asarray(m.ccd_b1), dtype)
+    b2f = jnp.asarray(np.asarray(m.ccd_b2), dtype)
+    invw = (m.body_invweight0[np.asarray(m.ccd_b1), 0]
+            + m.body_invweight0[np.asarray(m.ccd_b2), 0]).astype(dtype)
+    tab_all = jnp.concatenate([
+        m.ccd_core.astype(dtype),                      # 0:10
+        m.ccd_solref.astype(dtype),                    # 10:12
+        m.ccd_solimp.astype(dtype),                    # 12:17
+        m.ccd_mu.astype(dtype)[:, None],               # 17
+        invw[:, None],                                 # 18
+        m.ccd_includemargin.astype(dtype)[:, None],    # 19
+        m.ccd_margin.astype(dtype)[:, None],           # 20
+        b1f[:, None], b2f[:, None],                    # 21, 22
+    ], axis=1)
 
     def _h(R_g, u_world, half):                # support height along u
         ell = half[:, 0:3, None]
@@ -404,50 +417,48 @@ def _ccd_stage(m: Model, d: Data, dtype):
         an = jnp.sqrt(jnp.sum(au * au, axis=1) + 1e-20)
         return an + seg * jnp.abs(ul[:, 2]) + r
 
-    R1g = d.geom_xmat[g1]
-    R2g = d.geom_xmat[g2]
-    db = (cn[:, 0] - _h(R1g, u, core[:, :5]) - _h(R2g, -u, core[:, 5:]))
-    eff = db - m.ccd_includemargin.astype(dtype)[:, None]
-    _, top = jax.lax.top_k(-eff.T, N)          # (B, N)
-    idx = top.T                                # (N, B)
+    out = []
+    for (ax1, ax2, start, n, N) in m.ccd_classes:
+        seg = slice(start, start + n)
+        g1 = g1_all[seg]
+        g2 = g2_all[seg]
+        core = m.ccd_core[seg].astype(dtype)   # (n, 10)
+        c1 = d.geom_xpos[g1]                   # (n, 3, B) static gather
+        c2 = d.geom_xpos[g2]
+        cc = c2 - c1
+        cn = jnp.sqrt(jnp.sum(cc * cc, axis=1, keepdims=True) + 1e-20)
+        u = cc / cn
+        R1g = d.geom_xmat[g1]
+        R2g = d.geom_xmat[g2]
+        db = (cn[:, 0] - _h(R1g, u, core[:, :5])
+              - _h(R2g, -u, core[:, 5:]))
+        eff = db - m.ccd_includemargin[seg].astype(dtype)[:, None]
+        _, top = jax.lax.top_k(-eff.T, N)      # (B, N)
+        idx = top.T                            # (N, B)
 
-    # per-lane static-table params in one gather
-    b1f = jnp.asarray(np.asarray(m.ccd_b1), dtype)
-    b2f = jnp.asarray(np.asarray(m.ccd_b2), dtype)
-    invw = (m.body_invweight0[np.asarray(m.ccd_b1), 0]
-            + m.body_invweight0[np.asarray(m.ccd_b2), 0]).astype(dtype)
-    tab = jnp.concatenate([
-        m.ccd_core.astype(dtype),                      # 0:10
-        m.ccd_solref.astype(dtype),                    # 10:12
-        m.ccd_solimp.astype(dtype),                    # 12:17
-        m.ccd_mu.astype(dtype)[:, None],               # 17
-        invw[:, None],                                 # 18
-        m.ccd_includemargin.astype(dtype)[:, None],    # 19
-        m.ccd_margin.astype(dtype)[:, None],           # 20
-        b1f[:, None], b2f[:, None],                    # 21, 22
-    ], axis=1)
-    ts = tab[idx]                              # (N, B, 23)
+        ts = tab_all[seg][idx]                 # (N, B, 23)
+        gg1 = jnp.asarray(g1, jnp.int32)[idx]  # (N, B)
+        gg2 = jnp.asarray(g2, jnp.int32)[idx]
+        p1 = jnp.take_along_axis(d.geom_xpos, gg1[:, None, :], axis=0)
+        p2 = jnp.take_along_axis(d.geom_xpos, gg2[:, None, :], axis=0)
+        R1 = jnp.take_along_axis(d.geom_xmat, gg1[:, None, None, :],
+                                 axis=0)
+        R2 = jnp.take_along_axis(d.geom_xmat, gg2[:, None, None, :],
+                                 axis=0)
 
-    # per-lane geometry
-    gg1 = jnp.asarray(g1, jnp.int32)[idx]      # (N, B)
-    gg2 = jnp.asarray(g2, jnp.int32)[idx]
-    p1 = jnp.take_along_axis(d.geom_xpos, gg1[:, None, :], axis=0)
-    p2 = jnp.take_along_axis(d.geom_xpos, gg2[:, None, :], axis=0)
-    R1 = jnp.take_along_axis(d.geom_xmat, gg1[:, None, None, :], axis=0)
-    R2 = jnp.take_along_axis(d.geom_xmat, gg2[:, None, None, :], axis=0)
+        mv = lambda sl: jnp.moveaxis(ts[..., sl], -1, 1)   # (N, c, B)
+        prm1 = (mv(slice(0, 3)), mv(slice(3, 4)), mv(slice(4, 5)), ax1)
+        prm2 = (mv(slice(5, 8)), mv(slice(8, 9)), mv(slice(9, 10)), ax2)
+        dist, pos, nrm = ccd_mod.narrowphase(p1, R1, prm1, p2, R2, prm2,
+                                             iters=CCD_ITERS)
 
-    mv = lambda sl: jnp.moveaxis(ts[..., sl], -1, 1)   # (N, c, B)
-    prm1 = (mv(slice(0, 3)), mv(slice(3, 4)), mv(slice(4, 5)), True)
-    prm2 = (mv(slice(5, 8)), mv(slice(8, 9)), mv(slice(9, 10)), True)
-    dist, pos, nrm = ccd_mod.narrowphase(p1, R1, prm1, p2, R2, prm2,
-                                         iters=CCD_ITERS)
-
-    col = lambda i: ts[..., i]                 # (N, B)
-    stat = jnp.stack([col(10), col(11), col(17), col(18), col(19),
-                      col(20), col(21), col(22)], axis=1)   # (N, 8, B)
-    simp = mv(slice(12, 17))                   # (N, 5, B)
-    sel = (m.ncon_max + idx).astype(jnp.int32)
-    return dist, pos, nrm, stat, simp, sel
+        col = lambda i: ts[..., i]             # (N, B)
+        stat = jnp.stack([col(10), col(11), col(17), col(18), col(19),
+                          col(20), col(21), col(22)], axis=1)
+        simp = mv(slice(12, 17))               # (N, 5, B)
+        sel = (m.ncon_max + start + idx).astype(jnp.int32)
+        out.append((dist, pos, nrm, stat, simp, sel))
+    return out
 
 
 def collision(m: Model, d: Data) -> Data:
@@ -499,13 +510,13 @@ def collision(m: Model, d: Data) -> Data:
                 jnp.asarray(slots, jnp.int32)[:, None], (len(slots), B)))
 
     if m.ccd_budget > 0:
-        cds, cdp, cdn, cst, csi, csel = _ccd_stage(m, d, dtype)
-        dist_l.append(cds)
-        pos_l.append(cdp)
-        nrm_l.append(cdn)
-        stat_l.append(cst)
-        simp_l.append(csi)
-        sel_l.append(csel)
+        for (cds, cdp, cdn, cst, csi, csel) in _ccd_stage(m, d, dtype):
+            dist_l.append(cds)
+            pos_l.append(cdp)
+            nrm_l.append(cdn)
+            stat_l.append(cst)
+            simp_l.append(csi)
+            sel_l.append(csel)
 
     sel = jnp.concatenate(sel_l, axis=0)
     dist = jnp.concatenate(dist_l, axis=0)

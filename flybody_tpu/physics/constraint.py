@@ -96,7 +96,9 @@ def efc_meta(m: Model) -> EfcMeta:
     key = T.static_key(m.con_dim, m.jnt_limited, m.jnt_type,
                        m.jnt_qposadr, m.jnt_dofadr,
                        dict(m.con_sel) if m.con_sel else {},
-                       np.array([m.nccd, m.ccd_budget]))
+                       np.array([m.nccd, m.ccd_budget]),
+                       np.array([list(c[2:]) for c in m.ccd_classes])
+                       if m.ccd_classes else None)
     if key in _META_CACHE:
         return _META_CACHE[key]
     jl = np.asarray(m.jnt_limited, dtype=bool)
@@ -110,8 +112,8 @@ def efc_meta(m: Model) -> EfcMeta:
         cap = sel.get(int(cd), MAX_ACTIVE.get(int(cd), 16))
         groups.append((int(cd), min(n, cap)))
     analytic = tuple(groups)
-    if m.ccd_budget > 0:
-        groups.append((3, int(m.ccd_budget)))
+    for (_, _, _, _, budget) in m.ccd_classes:
+        groups.append((3, int(budget)))
     nrows = len(ids) + sum(min(cd, 3) * k for cd, k in groups)
     meta = EfcMeta(
         limit_ids=ids,

@@ -266,15 +266,28 @@ def put_model(m, dtype=jnp.float32, con_sel: dict | None = None,
         con_incmargin += [margin] * k
         con_margin_l += [margin] * k
 
-    # ccd pair tables (support-core geometry + combined params)
+    # ccd pair tables (support-core geometry + combined params), sorted
+    # class-major by kink structure (ax1, ax2) — smoother classes need
+    # fewer PGD candidate runs (ccd.minimize_support)
     from flybody_tpu.physics import ccd as ccd_mod
     nccd = len(ccd_g1)
+    order = []
+    for i, (g1, g2) in enumerate(zip(ccd_g1, ccd_g2)):
+        c1 = ccd_mod.geom_core_params(int(m.geom_type[g1]), m.geom_size[g1])
+        c2 = ccd_mod.geom_core_params(int(m.geom_type[g2]), m.geom_size[g2])
+        order.append(((int(c1[5]), int(c2[5])), i))
+    order.sort()
+    perm = [i for _, i in order]
+    ccd_g1 = ccd_g1[perm] if nccd else ccd_g1
+    ccd_g2 = ccd_g2[perm] if nccd else ccd_g2
+
     ccd_core, ccd_solref_l, ccd_solimp_l = [], [], []
     ccd_mu_l, ccd_margin_ll, ccd_rbsum = [], [], []
+    cls_axes = []
     for (g1, g2) in zip(ccd_g1, ccd_g2):
         cd, solref, solimp, fric5, margin = _combined_params(g1, g2)
         if cd == 1:
-            # the gated ccd pool is one static condim-3 group; in the
+            # each gated ccd pool is one static condim-3 group; in the
             # dual solver a friction cone with mu = 0 is EXACTLY a
             # frictionless contact (the cone projection zeroes the
             # tangential forces every iteration, incl. the noslip pass),
@@ -285,13 +298,35 @@ def put_model(m, dtype=jnp.float32, con_sel: dict | None = None,
                 f"ccd pair condim {cd} (only 1/3 supported)")
         c1 = ccd_mod.geom_core_params(int(m.geom_type[g1]), m.geom_size[g1])
         c2 = ccd_mod.geom_core_params(int(m.geom_type[g2]), m.geom_size[g2])
+        cls_axes.append((bool(c1[5]), bool(c2[5])))
         ccd_core.append(np.concatenate([c1[:5], c2[:5]]))
         ccd_solref_l.append(solref)
         ccd_solimp_l.append(solimp)
         ccd_mu_l.append(fric5[0])
         ccd_margin_ll.append(margin)
         ccd_rbsum.append(float(m.geom_rbound[g1] + m.geom_rbound[g2]))
-    ccd_budget_eff = min(ccd_budget, nccd) if nccd else 0
+
+    # class segments over the (ax1, ax2)-sorted tables; budgets split
+    # the total lane budget by kink count: 25% smooth / 50% one-axis
+    # (both side variants) / 25% two-axis, each capped by the class's
+    # candidate count
+    ccd_classes = []
+    ccd_budget_eff = 0
+    if nccd:
+        flags = np.array(cls_axes)                      # (nccd, 2) bool
+        shares = {0: 0.25, 1: 0.25, 2: 0.25}
+        for key in ((False, False), (False, True), (True, False),
+                    (True, True)):
+            idx = np.nonzero((flags[:, 0] == key[0])
+                             & (flags[:, 1] == key[1]))[0]
+            if not len(idx):
+                continue
+            start, n = int(idx[0]), int(len(idx))
+            assert np.all(idx == np.arange(start, start + n))
+            share = shares[int(key[0]) + int(key[1])]
+            budget = min(n, max(8, int(round(ccd_budget * share))))
+            ccd_classes.append((key[0], key[1], start, n, budget))
+            ccd_budget_eff += budget
 
     n_limit = int(m.jnt_limited.sum())
     nefc = n_limit + int(sum(con_dim)) + 3 * ccd_budget_eff
@@ -368,6 +403,7 @@ def put_model(m, dtype=jnp.float32, con_sel: dict | None = None,
         con_sel=tuple(sorted((con_sel or {}).items())),
         names=_names(m),
         nccd=nccd, ccd_budget=ccd_budget_eff,
+        ccd_classes=tuple(ccd_classes),
         ccd_geom1=s(ccd_g1), ccd_geom2=s(ccd_g2),
         ccd_b1=s(np.asarray(m.geom_bodyid)[ccd_g1].astype(np.int32)),
         ccd_b2=s(np.asarray(m.geom_bodyid)[ccd_g2].astype(np.int32)),

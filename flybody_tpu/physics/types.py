@@ -215,7 +215,7 @@ _MODEL_META = (
     "names",
     "nhfield", "hfield_nrow", "hfield_ncol",
     # gated exact-convex (ccd) pair tables
-    "nccd", "ccd_budget",
+    "nccd", "ccd_budget", "ccd_classes",
     "ccd_geom1", "ccd_geom2", "ccd_b1", "ccd_b2", "ccd_rbsum",
 )
 
@@ -270,7 +270,11 @@ class Model:
     # bounding-sphere distances gate the nccd candidates down to
     # ccd_budget lanes per env before the solver runs. ----
     nccd: int
-    ccd_budget: int
+    ccd_budget: int            # total selected lanes (sum over classes)
+    # per kink-structure class (fewer PGD candidate runs for smoother
+    # classes — ccd.minimize_support): (ax1, ax2, start, n, budget)
+    # over the class-major-sorted pair tables below
+    ccd_classes: tuple
     ccd_geom1: Static; ccd_geom2: Static   # (nccd,) geom ids (t1 <= t2)
     ccd_b1: Static; ccd_b2: Static         # (nccd,) body ids
     ccd_rbsum: Static                      # (nccd,) bounding-radius sum
