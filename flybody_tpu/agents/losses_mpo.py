@@ -170,7 +170,8 @@ def mpo_loss(cfg: MPOConfig, duals: DualParams,
         "dual_alpha_mean": jnp.mean(alpha_mean),
         "dual_alpha_stddev": jnp.mean(alpha_stddev),
         "dual_temperature": jnp.mean(temperature),
-        "loss_policy": loss,
+        "loss_policy": loss_policy,
+        "loss_mpo_total": loss,
         "loss_alpha": loss_alpha_mean + loss_alpha_stddev,
         "loss_temperature": loss_temperature,
         "kl_q_rel": jnp.mean(kl_nonparametric) / cfg.epsilon,
