@@ -168,19 +168,26 @@ def _pgd(pair: _Pair, u0, iters: int, proj_axis=None):
 
 
 def minimize_support(p1, R1, g1p, axis1_flat, p2, R2, g2p, axis2_flat,
-                     iters: int = 32):
+                     iters: int = 32, u0=None):
     """Minimize f over S^2 with the kink-aware candidate set.
 
     axis_i_flat: None (smooth shape) or bool whether shape i contributes
     a flat axis (its local z, i.e. R_i[:, 2]); static per lane-set.
-    Returns (u*, f*, s1*, s2*)."""
+    u0: optional warm-start directions (..., 3, B) — e.g. the previous
+    substep's converged u for the same pair; lanes where u0 is ~0 fall
+    back to the center-line seed. Returns (u*, f*, s1*, s2*)."""
     pair = _Pair(p1, R1, g1p, p2, R2, g2p)
     # start pointing geom1 -> geom2 (the optimal u in both regimes for
     # near-contact pairs); u0 = p1 - p2 would sit on the antipodal
     # MAXIMUM, a stationary point PGD cannot leave. The small fixed
     # jitter breaks exactly-axis-aligned stationary starts.
-    u0 = -pair.c + jnp.asarray([1e-7, 2e-7, 3e-7],
-                               pair.c.dtype)[..., :, None]
+    u0c = -pair.c + jnp.asarray([1e-7, 2e-7, 3e-7],
+                                pair.c.dtype)[..., :, None]
+    if u0 is not None:
+        has_warm = jnp.sum(u0 * u0, axis=-2, keepdims=True) > 0.25
+        u0 = jnp.where(has_warm, u0, u0c)
+    else:
+        u0 = u0c
 
     cands = [_pgd(pair, u0, iters)]
 
@@ -280,7 +287,7 @@ def _refine_witnesses(u, s1, s2, R1, g1p, R2, g2p):
 
 
 def narrowphase(p1, R1, param1, p2, R2, param2, iters: int = 32,
-                refine: bool = True):
+                refine: bool = True, u0=None):
     """Full convex narrowphase for a batch of lanes.
 
     param_i = (ell (...,3,1|B), seg (...,1,1|B), radius (...,1,1|B),
@@ -292,7 +299,7 @@ def narrowphase(p1, R1, param1, p2, R2, param2, iters: int = 32,
     g1p = (ell1, seg1)
     g2p = (ell2, seg2)
     u, f, s1, s2 = minimize_support(p1, R1, g1p, ax1, p2, R2, g2p, ax2,
-                                    iters)
+                                    iters, u0=u0)
     if refine:
         s1, s2 = _refine_witnesses(u, s1, s2, R1, g1p, R2, g2p)
     core = -f                                  # signed core distance

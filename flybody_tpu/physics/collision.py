@@ -370,7 +370,6 @@ def _slot_table(m: Model, dtype):
 # Fixed iteration budget for the gated exact-convex narrowphase
 # (physics/ccd.py). 32 reaches ~1e-6 relative accuracy on the fly's
 # shape inventory in f64 (tests/test_ccd.py).
-CCD_ITERS = 32
 
 
 def _ccd_stage(m: Model, d: Data, dtype):
@@ -418,6 +417,7 @@ def _ccd_stage(m: Model, d: Data, dtype):
         return an + seg * jnp.abs(ul[:, 2]) + r
 
     out = []
+    off = 0
     for (ax1, ax2, start, n, N) in m.ccd_classes:
         seg = slice(start, start + n)
         g1 = g1_all[seg]
@@ -449,15 +449,27 @@ def _ccd_stage(m: Model, d: Data, dtype):
         mv = lambda sl: jnp.moveaxis(ts[..., sl], -1, 1)   # (N, c, B)
         prm1 = (mv(slice(0, 3)), mv(slice(3, 4)), mv(slice(4, 5)), ax1)
         prm2 = (mv(slice(5, 8)), mv(slice(8, 9)), mv(slice(9, 10)), ax2)
+        sel = (m.ncon_max + start + idx).astype(jnp.int32)
+
+        # warm start: match this step's lanes to the previous substep's
+        # lanes of the SAME class (a pair never changes class) by slot id
+        # — an (N, N, B) one-hot contraction; unmatched lanes get u0 = 0
+        # and reseed from the center line inside minimize_support.
+        u0 = None
+        if d.ccd_warm_u.shape[0]:
+            old_id = d.ccd_warm_id[off:off + N]            # (N, B)
+            old_u = d.ccd_warm_u[off:off + N].astype(dtype)
+            hit = (sel[:, None, :] == old_id[None, :, :]).astype(dtype)
+            u0 = jnp.einsum("koB,ocB->kcB", hit, old_u)
         dist, pos, nrm = ccd_mod.narrowphase(p1, R1, prm1, p2, R2, prm2,
-                                             iters=CCD_ITERS)
+                                             iters=m.ccd_iters, u0=u0)
 
         col = lambda i: ts[..., i]             # (N, B)
         stat = jnp.stack([col(10), col(11), col(17), col(18), col(19),
                           col(20), col(21), col(22)], axis=1)
         simp = mv(slice(12, 17))               # (N, 5, B)
-        sel = (m.ncon_max + start + idx).astype(jnp.int32)
         out.append((dist, pos, nrm, stat, simp, sel))
+        off += N
     return out
 
 
@@ -509,7 +521,9 @@ def collision(m: Model, d: Data) -> Data:
             sel_l.append(jnp.broadcast_to(
                 jnp.asarray(slots, jnp.int32)[:, None], (len(slots), B)))
 
+    ccd_warm = None
     if m.ccd_budget > 0:
+        warm_id_l, warm_u_l = [], []
         for (cds, cdp, cdn, cst, csi, csel) in _ccd_stage(m, d, dtype):
             dist_l.append(cds)
             pos_l.append(cdp)
@@ -517,6 +531,10 @@ def collision(m: Model, d: Data) -> Data:
             stat_l.append(cst)
             simp_l.append(csi)
             sel_l.append(csel)
+            warm_id_l.append(csel)
+            warm_u_l.append(cdn)
+        ccd_warm = (jnp.concatenate(warm_id_l, axis=0),
+                    jnp.concatenate(warm_u_l, axis=0))
 
     sel = jnp.concatenate(sel_l, axis=0)
     dist = jnp.concatenate(dist_l, axis=0)
@@ -538,7 +556,11 @@ def collision(m: Model, d: Data) -> Data:
     R = jnp.maximum((1.0 - imp) / imp * invw, 1e-12)
     frame = _make_frame(nrm)
 
-    return d.replace(contact=Contact(
+    contact = Contact(
         sel=sel, dist=dist, pos=pos, frame=frame, k=k_, b=b_, R=R,
         mu=mu, invw=invw, margin=margin, marginfull=marginfull,
-        b1=b1, b2=b2))
+        b1=b1, b2=b2)
+    if ccd_warm is not None:
+        return d.replace(contact=contact, ccd_warm_id=ccd_warm[0],
+                         ccd_warm_u=ccd_warm[1].astype(d.ccd_warm_u.dtype))
+    return d.replace(contact=contact)

@@ -202,7 +202,7 @@ def _sensor_code(mj_type: int) -> int:
 
 
 def put_model(m, dtype=jnp.float32, con_sel: dict | None = None,
-              ccd_budget: int = 128,
+              ccd_budget: int = 128, ccd_iters: int = 8,
               contact_solver: str = "apgd") -> Model:
     """Convert a compiled mjModel into the engine's Model pytree.
 
@@ -212,6 +212,11 @@ def put_model(m, dtype=jnp.float32, con_sel: dict | None = None,
     ccd_budget: per-env lane budget for the gated exact-convex
     narrowphase (ellipsoid/cylinder pairs); the nccd candidates are
     gated to this many by bounding-sphere distance each substep.
+    ccd_iters: PGD iterations per narrowphase run. 8 is converged on
+    the full fly (max |dist - dist*| < 5e-8 m over all near-contact
+    pairs, tools/ccd_iter_sweep.py) thanks to the BB steps + the
+    previous-substep warm start carried in Data (ccd_warm_u); raise
+    for cold single-shot queries on exotic shapes.
     """
     import mujoco
 
@@ -404,6 +409,7 @@ def put_model(m, dtype=jnp.float32, con_sel: dict | None = None,
         names=_names(m),
         nccd=nccd, ccd_budget=ccd_budget_eff,
         ccd_classes=tuple(ccd_classes),
+        ccd_iters=int(ccd_iters),
         ccd_geom1=s(ccd_g1), ccd_geom2=s(ccd_g2),
         ccd_b1=s(np.asarray(m.geom_bodyid)[ccd_g1].astype(np.int32)),
         ccd_b2=s(np.asarray(m.geom_bodyid)[ccd_g2].astype(np.int32)),
@@ -525,6 +531,8 @@ def make_data(model: Model, B: int = 1, dtype=None) -> Data:
         warm_sel=jnp.zeros((_ksum(model), B), jnp.int32),
         warm_f=z(_ksum(model), 3),
         warm_lim=z(_nlimit(model)),
+        ccd_warm_id=jnp.full((model.ccd_budget, B), -1, jnp.int32),
+        ccd_warm_u=z(model.ccd_budget, 3),
         sensordata=z(model.nsensordata),
     )
 

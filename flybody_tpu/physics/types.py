@@ -215,7 +215,7 @@ _MODEL_META = (
     "names",
     "nhfield", "hfield_nrow", "hfield_ncol",
     # gated exact-convex (ccd) pair tables
-    "nccd", "ccd_budget", "ccd_classes",
+    "nccd", "ccd_budget", "ccd_classes", "ccd_iters",
     "ccd_geom1", "ccd_geom2", "ccd_b1", "ccd_b2", "ccd_rbsum",
 )
 
@@ -275,6 +275,7 @@ class Model:
     # classes — ccd.minimize_support): (ax1, ax2, start, n, budget)
     # over the class-major-sorted pair tables below
     ccd_classes: tuple
+    ccd_iters: int             # PGD iterations per narrowphase run
     ccd_geom1: Static; ccd_geom2: Static   # (nccd,) geom ids (t1 <= t2)
     ccd_b1: Static; ccd_b2: Static         # (nccd,) body ids
     ccd_rbsum: Static                      # (nccd,) bounding-radius sum
@@ -418,6 +419,11 @@ class Data:
     warm_sel: jax.Array       # (Ksum, B) int32 selected candidate slot ids
     warm_f: jax.Array         # (Ksum, 3, B) contact force (n, t1, t2)
     warm_lim: jax.Array       # (nlimit, B) limit-row forces
+    # ccd narrowphase warm start: previous substep's selected lane ids
+    # (global slot ids, as in contact.sel) and converged support
+    # directions; lanes with |u| ~ 0 reseed from the center line.
+    ccd_warm_id: jax.Array    # (ccd_budget, B) int32
+    ccd_warm_u: jax.Array     # (ccd_budget, 3, B)
 
     # sensors
     sensordata: jax.Array     # (nsensordata, B)

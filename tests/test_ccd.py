@@ -155,3 +155,42 @@ def test_ccd_batched_consistency():
                 (ell[i], seg[i], r0[i], True))
             np.testing.assert_allclose(float(d1[0]), float(dist[i, b]),
                                        rtol=1e-9, atol=1e-12)
+
+
+def test_warm_start_converges_in_two_iters():
+    """Seeded with the converged direction, 2 PGD iterations reproduce
+    the 128-iteration result (the per-substep warm-start contract:
+    collision._ccd_stage carries Data.ccd_warm_u across substeps)."""
+    rng = np.random.RandomState(3)
+    for (t1, s1, t2, s2) in PAIRS[:4]:
+        dirn = rng.randn(3)
+        dirn /= np.linalg.norm(dirn)
+        rb1 = sum(s1) if t1 != "sphere" else s1[0]
+        rb2 = sum(s2) if t2 != "sphere" else s2[0]
+        m, d = _mk_scene(t1, s1, t2, s2, dirn * 0.6 * (rb1 + rb2),
+                         _rand_quat(rng))
+
+        def prep(gid, tt, ss):
+            p = jnp.asarray(d.geom_xpos[gid])[:, None]
+            R = jnp.asarray(d.geom_xmat[gid].reshape(3, 3))[:, :, None]
+            pr = ccd.geom_core_params(TN[tt], tuple(ss) + (0.0, 0.0))
+            return p, R, (jnp.asarray(pr[0:3])[:, None],
+                          jnp.asarray(pr[3:4])[:, None],
+                          jnp.asarray(pr[4:5])[:, None], bool(pr[5]))
+
+        if TN[t1] <= TN[t2]:
+            a, b = prep(0, t1, s1), prep(1, t2, s2)
+        else:
+            a, b = prep(1, t2, s2), prep(0, t1, s1)
+        d_ref, _, n_ref = ccd.narrowphase(a[0], a[1], a[2], b[0], b[1],
+                                          b[2], iters=128)
+        d_warm, _, _ = ccd.narrowphase(a[0], a[1], a[2], b[0], b[1],
+                                       b[2], iters=2, u0=n_ref)
+        scale = max(max(s1), max(s2))
+        assert abs(float(d_warm[0]) - float(d_ref[0])) < 1e-6 * scale, (
+            t1, t2, float(d_warm[0]), float(d_ref[0]))
+        # zero seed falls back to the center line (cold path intact)
+        d_cold, _, _ = ccd.narrowphase(a[0], a[1], a[2], b[0], b[1],
+                                       b[2], iters=32,
+                                       u0=jnp.zeros_like(n_ref))
+        assert abs(float(d_cold[0]) - float(d_ref[0])) < 1e-5 * scale
