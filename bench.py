@@ -19,6 +19,13 @@ import time
 import jax
 import jax.numpy as jnp
 
+# Persistent compilation cache: the fused env step at B=4096 is a large
+# XLA program; caching makes repeated bench runs start in seconds.
+jax.config.update("jax_compilation_cache_dir",
+                  os.environ.get("JAX_CACHE_DIR", "/tmp/jax_bench_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+
 
 def main():
     num_envs = int(os.environ.get("BENCH_NUM_ENVS", 4096))

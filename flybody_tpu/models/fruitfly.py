@@ -314,9 +314,8 @@ def _change_body_frame(body: _Body, new_quat: np.ndarray):
     dquat = _mulq(_negq(new_quat), old_quat)
     body.quat = new_quat
     for child in body.joints + body.geoms + body.sites + body.cams:
-        child.quat = _mulq(dquat, getattr(child, "quat",
-                                          np.array([1., 0, 0, 0]))) \
-            if hasattr(child, "quat") else None
+        if hasattr(child, "quat"):
+            child.quat = _mulq(dquat, child.quat)
         child.pos = _rotq(child.pos, dquat)
         if hasattr(child, "axis"):
             child.axis = _rotq(child.axis, dquat)
