@@ -1,0 +1,96 @@
+"""Measure gate-hot contact counts over a walk_on_ball rollout.
+
+For each analytic condim group and each ccd class, counts per env the
+candidates whose effective distance (dist - includemargin, or the ccd
+center-line support gap) is below zero at sampled states of a random-action
+rollout. The max over (envs x steps) bounds the top-K budget actually
+needed; budgets above it are pure bandwidth waste in the solver
+(PERF.md "smaller per-class budgets" lever).
+"""
+
+import os
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_bench_cache")
+
+from flybody_tpu.fly_envs import walk_on_ball
+from flybody_tpu.physics import collision as col
+from flybody_tpu.physics import kinematics as K
+
+
+def main():
+    B = int(os.environ.get("B", 256))
+    T = int(os.environ.get("T", 200))
+    env = walk_on_ball()
+    m = env.model
+    rng = jax.random.PRNGKey(0)
+    states = jax.jit(env.reset)(jax.random.split(rng, B))
+    step = jax.jit(env.autoreset_step)
+    lo, hi = env.action_spec()
+
+    con_dim = np.asarray(m.con_dim)
+    incm = np.asarray(m.con_includemargin)
+
+    @jax.jit
+    def gate_counts(d):
+        d = K.kinematics(m, d)
+        out = {}
+        dist_all, _, _ = col._narrowphase(m, d)
+        for cd in sorted(set(con_dim.tolist())):
+            slots = np.nonzero(con_dim == cd)[0]
+            eff = dist_all[slots] - incm[slots][:, None]
+            out[f"analytic_condim{cd}"] = jnp.sum(eff < 0.0, axis=0)
+        # ccd classes: center-line support gap gate
+        g1_all = np.asarray(m.ccd_geom1)
+        g2_all = np.asarray(m.ccd_geom2)
+        for ci, (ax1, ax2, start, n, N) in enumerate(m.ccd_classes):
+            seg = slice(start, start + n)
+            core = m.ccd_core[seg]
+            g1 = g1_all[seg]
+            g2 = g2_all[seg]
+            c1 = d.geom_xpos[g1]
+            c2 = d.geom_xpos[g2]
+            cc = c2 - c1
+            cn = jnp.sqrt(jnp.sum(cc * cc, axis=1, keepdims=True) + 1e-20)
+            u = cc / cn
+
+            def _h(R_g, u_world, half):
+                ell = half[:, 0:3, None]
+                seg_h = half[:, 3, None]
+                r = half[:, 4, None]
+                ul = jnp.einsum("njiB,njB->niB", R_g, u_world)
+                au = ell * ul
+                an = jnp.sqrt(jnp.sum(au * au, axis=1) + 1e-20)
+                return an + seg_h * jnp.abs(ul[:, 2]) + r
+
+            db = (cn[:, 0] - _h(d.geom_xmat[g1], u, core[:, :5])
+                  - _h(d.geom_xmat[g2], -u, core[:, 5:]))
+            eff = db - m.ccd_includemargin[seg][:, None]
+            out[f"ccd_class{ci}_ax{int(ax1)}{int(ax2)}_n{n}_budget{N}"] = \
+                jnp.sum(eff < 0.0, axis=0)
+        return out
+
+    maxes = {}
+    t0 = time.time()
+    for t in range(T):
+        rng, k = jax.random.split(rng)
+        a = jax.random.uniform(k, (B, env.action_size),
+                               minval=jnp.asarray(lo), maxval=jnp.asarray(hi))
+        states = step(states, a)
+        if t % 5 == 0 or t == T - 1:
+            counts = jax.device_get(gate_counts(states.data))
+            for k2, v in counts.items():
+                cur = maxes.setdefault(k2, [0, 0.0])
+                cur[0] = max(cur[0], int(v.max()))
+                cur[1] = max(cur[1], float(np.percentile(v, 99)))
+    print(f"rollout {T} ctrl steps x {B} envs in {time.time()-t0:.1f}s")
+    for k2, (mx, p99) in sorted(maxes.items()):
+        print(f"{k2:42s} max={mx:4d}  p99={p99:.1f}")
+
+
+if __name__ == "__main__":
+    main()
