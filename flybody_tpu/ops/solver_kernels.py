@@ -1,0 +1,300 @@
+"""Pallas kernels for the fused flat-row dual contact solver.
+
+Two kernels built around the factorization A = J M^-1 J^T = Yd^T Yd with
+Yd = D^{-1/2} L^{-T} J^T computed from the sparse kinematic-tree LDL^T
+factor (ops/tree_ldl):
+
+* ``upsolve_yd`` — the multi-RHS triangular up-solve L^{-T} J^T plus the
+  D^{-1/2} scaling and the dual rhs b = aref - J qacc_smooth, with the
+  per-env (nv, R) workspace resident in VMEM. The XLA formulation of the
+  same sweep streams the (nv, R, B) workspace through HBM once per tree
+  level (~2.3 GB/substep at R=112, B=4096); here it is ONE read of J and
+  ONE write of Yd.
+
+* ``apgd_iterate`` — the entire APGD loop (Jacobi/cone-uniform scaling,
+  per-env power-iteration Lipschitz estimate, momentum with adaptive
+  restart, elliptic cone projections, noslip tangential post-pass) with
+  Yd resident in VMEM. HBM traffic is ONE read of Yd per substep instead
+  of two per iteration.
+
+Row layout (static): [ Kl nonneg rows (limits + condim-1 contacts, padded)
+| Kc cone NORMAL rows | Kc cone TANGENT-1 rows | Kc cone TANGENT-2 rows ].
+Segment-major cone storage keeps every in-kernel slice contiguous (no
+sublane reshapes in the iteration loop).
+
+Both kernels have pure-jnp reference twins (used on non-TPU backends and
+by the parity tests).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+LANE = 128
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def _flat_up(tree):
+    """Concatenate the tree's up-sweep triplets (leaves-first order)."""
+    out = []
+    for ii, ee, jj in tree.solve_up:
+        out += [(int(i), int(e), int(j)) for i, e, j in zip(ii, ee, jj)]
+    return tuple(out)
+
+
+# --------------------------------------------------------------------------
+# Kernel A: Yd = D^{-1/2} L^{-T} J^T  and  b = aref - J qacc_smooth
+# --------------------------------------------------------------------------
+
+
+def _upsolve_kernel(jt_ref, ld_ref, dinv_ref, qs_ref, aref_ref,
+                    yd_ref, b_ref, *, up):
+    x = jt_ref[...]                                   # (nv, Rb, LANE)
+    b_ref[...] = aref_ref[...] - jnp.sum(
+        x * qs_ref[...][:, None, :], axis=0)
+    yd_ref[...] = x
+    ld = ld_ref[...]                                  # (nM, LANE)
+    for i, e, j in up:
+        yd_ref[j] = yd_ref[j] - ld[e][None, :] * yd_ref[i]
+    yd_ref[...] = yd_ref[...] * jnp.sqrt(dinv_ref[...])[:, None, :]
+
+
+def upsolve_yd(tree, jt, ld, dinv, qacc_smooth, aref,
+               interpret: bool | None = None, block_r: int = 32):
+    """jt (nv, R, B), ld (nM, B), dinv (nv, B), qacc_smooth (nv, B),
+    aref (R, B) -> (yd (nv, R, B), b (R, B)). R, B padded internally."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    nv, R, B = jt.shape
+    nM = ld.shape[0]
+    Bp = max(_round_up(B, LANE), LANE)
+    Rp = max(_round_up(R, block_r), block_r)
+    if Bp != B or Rp != R:
+        jt = jnp.pad(jt, ((0, 0), (0, Rp - R), (0, Bp - B)))
+        aref = jnp.pad(aref, ((0, Rp - R), (0, Bp - B)))
+        ld = jnp.pad(ld, ((0, 0), (0, Bp - B)))
+        # padded lanes: Dinv/qs zero is fine (rows are discarded)
+        dinv = jnp.pad(dinv, ((0, 0), (0, Bp - B)))
+        qacc_smooth = jnp.pad(qacc_smooth, ((0, 0), (0, Bp - B)))
+
+    kernel = functools.partial(_upsolve_kernel, up=_flat_up(tree))
+    yd, b = pl.pallas_call(
+        kernel,
+        grid=(Bp // LANE, Rp // block_r),
+        in_specs=[
+            pl.BlockSpec((nv, block_r, LANE), lambda ib, ir: (0, ir, ib),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((nM, LANE), lambda ib, ir: (0, ib),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((nv, LANE), lambda ib, ir: (0, ib),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((nv, LANE), lambda ib, ir: (0, ib),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_r, LANE), lambda ib, ir: (ir, ib),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((nv, block_r, LANE), lambda ib, ir: (0, ir, ib),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_r, LANE), lambda ib, ir: (ir, ib),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((nv, Rp, Bp), jt.dtype),
+            jax.ShapeDtypeStruct((Rp, Bp), jt.dtype),
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(jt, ld, dinv, qacc_smooth, aref)
+    return yd[:, :R, :B], b[:R, :B]
+
+
+def upsolve_yd_reference(tree, jt, ld, dinv, qacc_smooth, aref):
+    """Pure-jnp twin of upsolve_yd (same math, HBM-streaming)."""
+    b = aref - jnp.einsum("vrB,vB->rB", jt, qacc_smooth)
+    x = jt
+    for ii, ee, jj in tree.solve_up:
+        x = x.at[jj].add(-ld[ee][:, None] * x[ii])
+    yd = x * jnp.sqrt(dinv)[:, None, :]
+    return yd, b
+
+
+# --------------------------------------------------------------------------
+# Kernel B: fused APGD + noslip on A = Yd^T Yd (+R), everything in VMEM
+# --------------------------------------------------------------------------
+
+
+def _apgd_math(yd, b, rreg, act, mu, f0, *, kl, kc, iterations,
+               noslip_iterations, power_iters):
+    """Shared kernel/reference math. yd (nv, R, L), vectors (R, L) or
+    (kc, L); returns (f (R, L), ystar (nv, L))."""
+    dtype = yd.dtype
+    n0, n1, n2 = kl, kl + kc, kl + 2 * kc
+
+    def mv_y(f):                     # Yd f -> (nv, L)
+        return jnp.sum(yd * f[None, :, :], axis=1)
+
+    def mv_a(f):                     # Yd^T Yd f -> (R, L)
+        return jnp.sum(yd * mv_y(f)[:, None, :], axis=0)
+
+    diag_a = jnp.sum(yd * yd, axis=0)                 # (R, L)
+    # cone-uniform Jacobi scaling (normal row's diag across the cone)
+    dn = diag_a[n0:n1] + rreg[n0:n1]
+    dcone = jnp.concatenate([diag_a[:kl] + rreg[:kl], dn, dn, dn], axis=0)
+    s = 1.0 / jnp.sqrt(jnp.maximum(dcone, 1e-12))
+    # scaled operator: As z = s (A + R) (s z); bs = s b
+    bs = s * b
+    s2r = s * s * rreg
+
+    def mv_as(z):
+        return s * mv_a(s * z) + s2r * z
+
+    def proj(z, tangent_only=False, fn_frozen=None):
+        head = z[:kl] if tangent_only else jnp.maximum(z[:kl], 0.0)
+        fn = fn_frozen if tangent_only else z[n0:n1]
+        t1 = z[n1:n2]
+        t2 = z[n2:]
+        t = jnp.sqrt(t1 * t1 + t2 * t2) + 1e-20
+        if tangent_only:
+            cap = jnp.maximum(mu * fn, 0.0)
+            sc = jnp.minimum(1.0, cap / t)
+            fn_new = fn
+        else:
+            inside = t <= mu * fn
+            zero = mu * t <= -fn
+            fn_m = (fn + mu * t) / (1.0 + mu * mu)
+            fn_new = jnp.where(inside, fn, jnp.where(zero, 0.0, fn_m))
+            sc = jnp.where(inside, 1.0,
+                           jnp.where(zero, 0.0, mu * fn_m / t))
+        return jnp.concatenate([head, fn_new, t1 * sc, t2 * sc],
+                               axis=0) * act
+
+    # ---- Lipschitz of As over active rows (power iteration) ----
+    v = act
+    L = jnp.ones_like(b[:1])
+    for _ in range(power_iters):
+        nrm = jnp.sqrt(jnp.sum(v * v, axis=0, keepdims=True)) + 1e-30
+        v = mv_as(v / nrm) * act
+        L = jnp.sqrt(jnp.sum(v * v, axis=0, keepdims=True)) + 1e-30
+    inv_l = 1.0 / jnp.maximum(1.5 * L, 1.0)
+
+    z0 = proj(f0 / jnp.maximum(s, 1e-30))
+
+    def body(_, carry):
+        z, zp, kk = carry
+        beta = kk / (kk + 3.0)
+        y = z + beta * (z - zp)
+        g = mv_as(y) - bs
+        z_new = proj(y - inv_l * g)
+        restart = jnp.sum(g * (z_new - z), axis=0, keepdims=True) > 0
+        kk_new = jnp.where(restart, 0.0, kk + 1.0)
+        return (z_new, z, kk_new)
+
+    kk0 = jnp.zeros_like(b[:1])
+    z, _, _ = jax.lax.fori_loop(0, iterations, body, (z0, z0, kk0))
+
+    # ---- noslip: tangentials with R = 0, normals frozen ----
+    if noslip_iterations > 0 and kc > 0:
+        fn_frozen = z[n0:n1]
+        pns = 1.0 / jnp.maximum(dcone * s * s, 1e-30)  # ~1 in scaled space
+
+        def ns_body(_, z):
+            g = s * mv_a(s * z) - bs                  # no R
+            step = z - inv_l * pns * g
+            head = jnp.concatenate([z[:kl], fn_frozen], axis=0)
+            step = jnp.concatenate([head, step[n1:]], axis=0)
+            return proj(step, tangent_only=True, fn_frozen=fn_frozen)
+
+        z = jax.lax.fori_loop(0, 2 * noslip_iterations, ns_body, z)
+
+    f = (s * z).astype(dtype)
+    return f, mv_y(f)
+
+
+def _apgd_kernel(yd_ref, b_ref, rreg_ref, act_ref, mu_ref, f0_ref,
+                 f_out, ystar_out, **kw):
+    f, ystar = _apgd_math(yd_ref[...], b_ref[...], rreg_ref[...],
+                          act_ref[...], mu_ref[...], f0_ref[...], **kw)
+    f_out[...] = f
+    ystar_out[...] = ystar
+
+
+def apgd_iterate(yd, b, rreg, active, mu, f0, *, kl: int, kc: int,
+                 iterations: int, noslip_iterations: int = 0,
+                 power_iters: int = 4, interpret: bool | None = None):
+    """Fused APGD on A = Yd^T Yd + diag(rreg).
+
+    yd (nv, R, B); b/rreg/active/f0 (R, B); mu (kc, B). Row layout
+    [kl nonneg | kc normals | kc tangent1 | kc tangent2], R = kl + 3 kc.
+    Returns (f (R, B), ystar = Yd f (nv, B))."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    nv, R, B = yd.shape
+    assert R == kl + 3 * kc
+    Bp = max(_round_up(B, LANE), LANE)
+    if Bp != B:
+        pad = ((0, 0), (0, Bp - B))
+        yd = jnp.pad(yd, ((0, 0), (0, 0), (0, Bp - B)))
+        b = jnp.pad(b, pad)
+        rreg = jnp.pad(rreg, pad, constant_values=1.0)
+        active = jnp.pad(active, pad)
+        mu = jnp.pad(mu, ((0, 0), (0, Bp - B)))
+        f0 = jnp.pad(f0, pad)
+
+    kernel = functools.partial(
+        _apgd_kernel, kl=kl, kc=kc, iterations=iterations,
+        noslip_iterations=noslip_iterations, power_iters=power_iters)
+    f, ystar = pl.pallas_call(
+        kernel,
+        grid=(Bp // LANE,),
+        in_specs=[
+            pl.BlockSpec((nv, R, LANE), lambda i: (0, 0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((R, LANE), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((R, LANE), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((R, LANE), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((max(kc, 1), LANE), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((R, LANE), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((R, LANE), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((nv, LANE), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((R, Bp), yd.dtype),
+            jax.ShapeDtypeStruct((nv, Bp), yd.dtype),
+        ),
+        # the (nv, R, LANE) resident Yd block plus the matvec temporaries
+        # exceed the 16M default scoped-vmem budget; v5e has 128M physical
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(yd, b, rreg, active, jnp.broadcast_to(mu, (max(kc, 1), Bp)), f0)
+    return f[:, :B], ystar[:, :B]
+
+
+def apgd_iterate_reference(yd, b, rreg, active, mu, f0, *, kl: int,
+                           kc: int, iterations: int,
+                           noslip_iterations: int = 0,
+                           power_iters: int = 4):
+    """Pure-jnp twin of apgd_iterate (used on non-TPU backends)."""
+    return _apgd_math(yd, b, rreg, active, mu, f0, kl=kl, kc=kc,
+                      iterations=iterations,
+                      noslip_iterations=noslip_iterations,
+                      power_iters=power_iters)

@@ -217,6 +217,29 @@ def solve(meta: TreeMeta, LD: jnp.ndarray, Dinv: jnp.ndarray,
     return x
 
 
+def solve_down(meta: TreeMeta, LD: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
+    """x <- L^{-1} x (root-first sweep only). x (nv, ...B)."""
+    extra = x.ndim - LD.ndim
+    ld = LD.reshape(LD.shape[:1] + (1,) * extra + LD.shape[1:]) if extra \
+        else LD
+    for ii, ee, jj in meta.solve_down:
+        x = x.at[ii].add(-ld[ee] * x[jj])
+    return x
+
+
+def mul_lt(meta: TreeMeta, LD: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
+    """L^T @ x with unit-diagonal L from the factor. x (nv, ...B).
+
+    (L^T x)[j] = x[j] + sum over off-diag entries (i, e, j) of L[e] x[i]."""
+    extra = x.ndim - LD.ndim
+    ld = LD.reshape(LD.shape[:1] + (1,) * extra + LD.shape[1:]) if extra \
+        else LD
+    out = x
+    for ii, ee, jj in meta.solve_up:
+        out = out.at[jj].add(ld[ee] * x[ii])
+    return out
+
+
 def matmul(meta: TreeMeta, Ms: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
     """M @ v with compressed symmetric M. v: (nv, ...B) -> (nv, ...B)."""
     extra = v.ndim - (Ms.ndim - 1) - 1

@@ -86,25 +86,22 @@ def adhesion_qfrc(m: Model, d: Data, force: jnp.ndarray,
     -(mean over active contacts of the target body of the contact-normal
     jacobian row) * gear.
 
-    The normal jacobian rows are EXACTLY the d=0 rows of the constraint
-    groups' Jacobians, which forward() assembles once per substep — so
-    adhesion reduces to per-row membership masks (body-id compares on the
-    selected contacts) and one (Ksum, nv, B) contraction; nothing is
-    re-derived from candidate-slot arrays."""
+    Factorized: the normal row is J_n[k, v] = mdiff[k, v] *
+    (u6n_k . D6_v) with u6n = [normal, p x normal], so the weighted row
+    sum collapses to per-body 6D wrench accumulation (one one-hot
+    contraction over the selected contacts) followed by the static
+    (nbody, nv) dof-support matmul — no (Ksum, nv, B) Jacobian is
+    materialized and no constraint assembly is needed here (``efc`` is
+    accepted for API compatibility and ignored)."""
+    del efc
     qfrc = jnp.zeros_like(d.qvel)
     acts, bodies = _adhesion_acts(m)
     if len(acts) == 0 or (m.ncon_max == 0 and m.nccd == 0):
         return qfrc
+    from flybody_tpu.math import bquat as bq
+    from flybody_tpu.physics import solver_fused as SF
     dtype = d.qpos.dtype
     con = d.contact
-    if efc is None:
-        from flybody_tpu.physics import constraint as C
-        efc = C.make_efc(m, d)
-    _, groups = efc
-    if not groups:
-        return qfrc
-    jac_n = jnp.concatenate([g.jac[:, 0] for g in groups],
-                            axis=0)                         # (Ksum, nv, B)
 
     active = (con.dist < con.marginfull).astype(dtype)      # (Ksum, B)
     # membership of each selected contact in each actuator's body (either
@@ -120,7 +117,19 @@ def adhesion_qfrc(m: Model, d: Data, force: jnp.ndarray,
                       -gain[:, None] / jnp.maximum(count, 1.0),
                       0.0) * force[acts]                    # (nact, B)
     coeff = jnp.sum(member * scale[:, None, :], axis=0) * active  # (Ksum, B)
-    return qfrc + jnp.einsum("kB,kvB->vB", coeff, jac_n)
+
+    # weighted normal-row sum via per-body wrench accumulation
+    normal = con.frame[:, 0]                                # (Ksum, 3, B)
+    u6n = jnp.concatenate([normal, bq.cross(con.pos, normal)],
+                          axis=-2)                          # (Ksum, 6, B)
+    iota = jnp.arange(m.nbody, dtype=jnp.int32)[None, :, None]
+    ohd = ((con.b2[:, None, :] == iota).astype(dtype)
+           - (con.b1[:, None, :] == iota).astype(dtype))    # (Ksum, nb, B)
+    wrench = jnp.einsum("kbB,kcB->bcB", ohd, u6n * coeff[:, None, :])
+    maskd = jnp.asarray(np.asarray(m.body_dof_mask), dtype)
+    wv = jnp.einsum("bv,bcB->vcB", maskd, wrench)           # (nv, 6, B)
+    D6 = SF._dof_basis(m, d)
+    return qfrc + jnp.sum(wv * D6, axis=1)
 
 
 def actuation(m: Model, d: Data, efc=None) -> Data:

@@ -134,6 +134,8 @@ class Limits:
     active: jnp.ndarray        # (nl, B)
     diag: jnp.ndarray          # (nl, B) approx diag(A + R) (invweight + R)
     pos: jnp.ndarray           # (nl, B) margin-adjusted limit distance
+    k: jnp.ndarray             # (nl, B) solref/solimp stiffness
+    b: jnp.ndarray             # (nl, B) solref/solimp damping
 
 
 @dataclasses.dataclass
@@ -152,7 +154,7 @@ class ConGroup:
 
 jax.tree_util.register_dataclass(
     Limits,
-    data_fields=["sign", "aref", "R", "active", "diag", "pos"],
+    data_fields=["sign", "aref", "R", "active", "diag", "pos", "k", "b"],
     meta_fields=["dadr"])
 jax.tree_util.register_dataclass(
     ConGroup,
@@ -182,7 +184,7 @@ def _limit_rows(m: Model, d: Data, meta: EfcMeta) -> Limits | None:
     R = jnp.maximum((1.0 - imp) / imp * invweight, 1e-12)
     return Limits(dadr=dadr, sign=sign, aref=aref, R=R,
                   active=(pos < 0.0).astype(q.dtype),
-                  diag=invweight + R, pos=pos)
+                  diag=invweight + R, pos=pos, k=k, b=b)
 
 
 def _contact_groups(m: Model, d: Data, meta: EfcMeta) -> list[ConGroup]:
@@ -269,6 +271,9 @@ def solve(m: Model, d: Data, iterations: int | None = None,
     if len(meta.limit_ids) == 0 and m.ncon_max == 0 and m.nccd == 0:
         return d.replace(qacc=d.qacc_smooth,
                          qfrc_constraint=jnp.zeros_like(d.qvel))
+    if m.opt.contact_solver == "fused":
+        from flybody_tpu.physics import solver_fused
+        return solver_fused.solve_fused(m, d, iterations=iterations)
     lim, groups = efc if efc is not None else make_efc(m, d, meta)
     # fixed iteration count (static shapes, no early exit on TPU); the
     # per-method defaults reflect measured warm-started convergence

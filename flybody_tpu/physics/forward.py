@@ -70,15 +70,14 @@ def fwd_acceleration(m: Model, d: Data) -> Data:
 def forward(m: Model, d: Data) -> Data:
     """Full forward dynamics: qacc from (qpos, qvel, ctrl, act).
 
-    The constraint rows (Jacobian + aref over the selected contact
-    islands) are assembled ONCE and shared between adhesion transmission
-    (which consumes the normal rows) and the contact solver."""
+    Adhesion transmission consumes the selected contacts directly in
+    factorized 6D-wrench form (actuation.adhesion_qfrc), so no constraint
+    assembly happens before the solver stage."""
     d = fwd_position(m, d)
     d = fwd_velocity(m, d)
-    efc = C.make_efc(m, d)
-    d = fwd_actuation(m, d, efc=efc)
+    d = fwd_actuation(m, d)
     d = fwd_acceleration(m, d)
-    d = C.solve(m, d, efc=efc)
+    d = C.solve(m, d)
     return d
 
 

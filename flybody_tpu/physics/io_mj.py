@@ -203,7 +203,8 @@ def _sensor_code(mj_type: int) -> int:
 
 def put_model(m, dtype=jnp.float32, con_sel: dict | None = None,
               ccd_budget: int = 128, ccd_iters: int = 8,
-              contact_solver: str = "apgd") -> Model:
+              contact_solver: str = "apgd",
+              fused_sel: tuple = (24, 24)) -> Model:
     """Convert a compiled mjModel into the engine's Model pytree.
 
     con_sel: optional {condim: K} overrides for the per-condim active
@@ -406,6 +407,7 @@ def put_model(m, dtype=jnp.float32, con_sel: dict | None = None,
         pair_type=Static(np.array(pair_types, dtype=np.int32).reshape(-1, 2)),
         con_dim=s(np.array(con_dim, dtype=np.int32)),
         con_sel=tuple(sorted((con_sel or {}).items())),
+        fused_sel=tuple(fused_sel),
         names=_names(m),
         nccd=nccd, ccd_budget=ccd_budget_eff,
         ccd_classes=tuple(ccd_classes),

@@ -212,6 +212,7 @@ _MODEL_META = (
     "pair_geom1", "pair_geom2", "pair_type",  # candidate collision pairs
     "con_dim",  # per-contact-slot condim (static, from pair geoms)
     "con_sel",  # ((condim, K) ...) active-island sizes per condim group
+    "fused_sel",  # (limit rows, cones) solver-active budgets (fused path)
     "names",
     "nhfield", "hfield_nrow", "hfield_ncol",
     # gated exact-convex (ccd) pair tables
@@ -263,6 +264,7 @@ class Model:
     pair_geom1: Static; pair_geom2: Static; pair_type: Static
     con_dim: Static
     con_sel: tuple
+    fused_sel: tuple
     names: Any  # dict of name tables (static)
     # ---- gated exact-convex (ccd) pairs: every candidate pair whose
     # narrowphase needs the support-minimization solver (physics/ccd.py:

@@ -117,7 +117,8 @@ def make_walk_on_ball(claw_friction: float = 1.0, time_limit: float = 2.0,
     # sees ~30 hot convex pairs on the ball scene (oracle-grade default
     # is 128; missing a grazing pair costs a 1-substep pop, not NaNs)
     model = io_mj.put_model(mj_model, dtype=dtype,
-                            con_sel={1: 8, 3: 16}, ccd_budget=64)
+                            con_sel={1: 8, 3: 16}, ccd_budget=64,
+                            contact_solver="fused", fused_sel=(16, 32))
     walker = FlyWalker(model, amap)
     task = WalkOnBall(walker, time_limit=time_limit)
     return FlyEnv(model, task, mj_model=mj_model, dtype=dtype)

@@ -44,6 +44,8 @@ def main():
             slots = np.nonzero(con_dim == cd)[0]
             eff = dist_all[slots] - incm[slots][:, None]
             out[f"analytic_condim{cd}"] = jnp.sum(eff < 0.0, axis=0)
+            out[f"analytic_condim{cd}_pen"] = jnp.sum(
+                dist_all[slots] < 0.0, axis=0)
         # ccd classes: center-line support gap gate
         g1_all = np.asarray(m.ccd_geom1)
         g2_all = np.asarray(m.ccd_geom2)
@@ -72,6 +74,22 @@ def main():
             eff = db - m.ccd_includemargin[seg][:, None]
             out[f"ccd_class{ci}_ax{int(ax1)}{int(ax2)}_n{n}_budget{N}"] = \
                 jnp.sum(eff < 0.0, axis=0)
+            out[f"ccd_class{ci}_pen"] = jnp.sum(db < 0.0, axis=0)
+        out["total_cone_pen"] = sum(
+            v for k2, v in out.items()
+            if k2.endswith("_pen") and "condim1" not in k2)
+        # limit rows within margin of violation (solver-active)
+        jl = np.asarray(m.jnt_limited, dtype=bool)
+        jt = np.asarray(m.jnt_type)
+        ids = np.nonzero(jl & ((jt == 3) | (jt == 2)))[0]
+        if len(ids):
+            qadr = np.asarray(m.jnt_qposadr)[ids]
+            q = d.qpos[qadr]
+            lo = m.jnt_range[ids, 0][:, None]
+            hi = m.jnt_range[ids, 1][:, None]
+            dist = jnp.minimum(q - lo, hi - q)
+            pos = dist - m.jnt_margin[ids][:, None]
+            out["limits_active"] = jnp.sum(pos < 0.0, axis=0)
         return out
 
     maxes = {}
