@@ -55,11 +55,15 @@ def _flat_up(tree):
 # --------------------------------------------------------------------------
 
 
-def _upsolve_kernel(jt_ref, ld_ref, dinv_ref, qs_ref, aref_ref,
-                    yd_ref, b_ref, *, up):
+def _upsolve_kernel(jt_ref, ld_ref, dinv_ref, qs_ref, qvel_ref,
+                    kcoef_ref, bcoef_ref, posr_ref, yd_ref, b_ref, *, up):
     x = jt_ref[...]                                   # (nv, Rb, LANE)
-    b_ref[...] = aref_ref[...] - jnp.sum(
-        x * qs_ref[...][:, None, :], axis=0)
+    # dual rhs b = aref - J qacc_smooth with the uniform row form
+    # aref = -bcoef * (J qvel) - kcoef * pos  (tangent rows: kcoef = 0)
+    velj = jnp.sum(x * qvel_ref[...][:, None, :], axis=0)
+    aj = jnp.sum(x * qs_ref[...][:, None, :], axis=0)
+    b_ref[...] = (-bcoef_ref[...] * velj - kcoef_ref[...] * posr_ref[...]
+                  - aj)
     yd_ref[...] = x
     ld = ld_ref[...]                                  # (nM, LANE)
     for i, e, j in up:
@@ -67,10 +71,12 @@ def _upsolve_kernel(jt_ref, ld_ref, dinv_ref, qs_ref, aref_ref,
     yd_ref[...] = yd_ref[...] * jnp.sqrt(dinv_ref[...])[:, None, :]
 
 
-def upsolve_yd(tree, jt, ld, dinv, qacc_smooth, aref,
+def upsolve_yd(tree, jt, ld, dinv, qacc_smooth, qvel, kcoef, bcoef, posr,
                interpret: bool | None = None, block_r: int = 32):
-    """jt (nv, R, B), ld (nM, B), dinv (nv, B), qacc_smooth (nv, B),
-    aref (R, B) -> (yd (nv, R, B), b (R, B)). R, B padded internally."""
+    """jt (nv, R, B), ld (nM, B), dinv/qacc_smooth/qvel (nv, B),
+    kcoef/bcoef/posr (R, B) -> (yd (nv, R, B), b (R, B)) with
+    b = -bcoef (J qvel) - kcoef posr - J qacc_smooth.
+    R, B padded internally."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     nv, R, B = jt.shape
@@ -79,13 +85,20 @@ def upsolve_yd(tree, jt, ld, dinv, qacc_smooth, aref,
     Rp = max(_round_up(R, block_r), block_r)
     if Bp != B or Rp != R:
         jt = jnp.pad(jt, ((0, 0), (0, Rp - R), (0, Bp - B)))
-        aref = jnp.pad(aref, ((0, Rp - R), (0, Bp - B)))
+        kcoef = jnp.pad(kcoef, ((0, Rp - R), (0, Bp - B)))
+        bcoef = jnp.pad(bcoef, ((0, Rp - R), (0, Bp - B)))
+        posr = jnp.pad(posr, ((0, Rp - R), (0, Bp - B)))
         ld = jnp.pad(ld, ((0, 0), (0, Bp - B)))
         # padded lanes: Dinv/qs zero is fine (rows are discarded)
         dinv = jnp.pad(dinv, ((0, 0), (0, Bp - B)))
         qacc_smooth = jnp.pad(qacc_smooth, ((0, 0), (0, Bp - B)))
+        qvel = jnp.pad(qvel, ((0, 0), (0, Bp - B)))
 
     kernel = functools.partial(_upsolve_kernel, up=_flat_up(tree))
+    vec = lambda: pl.BlockSpec((nv, LANE), lambda ib, ir: (0, ib),
+                               memory_space=pltpu.VMEM)
+    rvec = lambda: pl.BlockSpec((block_r, LANE), lambda ib, ir: (ir, ib),
+                                memory_space=pltpu.VMEM)
     yd, b = pl.pallas_call(
         kernel,
         grid=(Bp // LANE, Rp // block_r),
@@ -94,18 +107,13 @@ def upsolve_yd(tree, jt, ld, dinv, qacc_smooth, aref,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((nM, LANE), lambda ib, ir: (0, ib),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((nv, LANE), lambda ib, ir: (0, ib),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((nv, LANE), lambda ib, ir: (0, ib),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((block_r, LANE), lambda ib, ir: (ir, ib),
-                         memory_space=pltpu.VMEM),
+            vec(), vec(), vec(),
+            rvec(), rvec(), rvec(),
         ],
         out_specs=(
             pl.BlockSpec((nv, block_r, LANE), lambda ib, ir: (0, ir, ib),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((block_r, LANE), lambda ib, ir: (ir, ib),
-                         memory_space=pltpu.VMEM),
+            rvec(),
         ),
         out_shape=(
             jax.ShapeDtypeStruct((nv, Rp, Bp), jt.dtype),
@@ -114,13 +122,16 @@ def upsolve_yd(tree, jt, ld, dinv, qacc_smooth, aref,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(jt, ld, dinv, qacc_smooth, aref)
+    )(jt, ld, dinv, qacc_smooth, qvel, kcoef, bcoef, posr)
     return yd[:, :R, :B], b[:R, :B]
 
 
-def upsolve_yd_reference(tree, jt, ld, dinv, qacc_smooth, aref):
+def upsolve_yd_reference(tree, jt, ld, dinv, qacc_smooth, qvel, kcoef,
+                         bcoef, posr):
     """Pure-jnp twin of upsolve_yd (same math, HBM-streaming)."""
-    b = aref - jnp.einsum("vrB,vB->rB", jt, qacc_smooth)
+    velj = jnp.einsum("vrB,vB->rB", jt, qvel)
+    aj = jnp.einsum("vrB,vB->rB", jt, qacc_smooth)
+    b = -bcoef * velj - kcoef * posr - aj
     x = jt
     for ii, ee, jj in tree.solve_up:
         x = x.at[jj].add(-ld[ee][:, None] * x[ii])

@@ -372,6 +372,37 @@ def _slot_table(m: Model, dtype):
 # shape inventory in f64 (tests/test_ccd.py).
 
 
+def ccd_gate(m: Model, d: Data, start: int, n: int, dtype) -> jnp.ndarray:
+    """Center-line support-gap gate for a ccd pair segment -> (n, B).
+
+    d_gate = |c| - h1(u) - h2(-u) along the center line u is -f(u) for
+    one support direction, hence a LOWER bound of the signed distance
+    (never wrongly excludes a pair). Shared between the production
+    narrowphase and the measurement tools so budget measurements can
+    never drift from the production gate (ADVICE round-2)."""
+    seg = slice(start, start + n)
+    g1 = np.asarray(m.ccd_geom1)[seg]
+    g2 = np.asarray(m.ccd_geom2)[seg]
+    core = m.ccd_core[seg].astype(dtype)       # (n, 10)
+    c1 = d.geom_xpos[g1]                       # (n, 3, B) static gather
+    c2 = d.geom_xpos[g2]
+    cc = c2 - c1
+    cn = jnp.sqrt(jnp.sum(cc * cc, axis=1, keepdims=True) + 1e-20)
+    u = cc / cn
+
+    def _h(R_g, u_world, half):                # support height along u
+        ell = half[:, 0:3, None]
+        sg = half[:, 3, None]
+        r = half[:, 4, None]
+        ul = jnp.einsum("njiB,njB->niB", R_g, u_world)
+        au = ell * ul
+        an = jnp.sqrt(jnp.sum(au * au, axis=1) + 1e-20)
+        return an + sg * jnp.abs(ul[:, 2]) + r
+
+    return (cn[:, 0] - _h(d.geom_xmat[g1], u, core[:, :5])
+            - _h(d.geom_xmat[g2], -u, core[:, 5:]))
+
+
 def _ccd_stage(m: Model, d: Data, dtype):
     """Gated exact-convex narrowphase, per kink-structure class.
 
@@ -405,48 +436,45 @@ def _ccd_stage(m: Model, d: Data, dtype):
         m.ccd_includemargin.astype(dtype)[:, None],    # 19
         m.ccd_margin.astype(dtype)[:, None],           # 20
         b1f[:, None], b2f[:, None],                    # 21, 22
+        jnp.asarray(g1_all, dtype)[:, None],           # 23 geom1 id
+        jnp.asarray(g2_all, dtype)[:, None],           # 24 geom2 id
     ], axis=1)
-
-    def _h(R_g, u_world, half):                # support height along u
-        ell = half[:, 0:3, None]
-        seg = half[:, 3, None]
-        r = half[:, 4, None]
-        ul = jnp.einsum("njiB,njB->niB", R_g, u_world)
-        au = ell * ul
-        an = jnp.sqrt(jnp.sum(au * au, axis=1) + 1e-20)
-        return an + seg * jnp.abs(ul[:, 2]) + r
+    # per-geom frame payload for the post-selection lane compaction:
+    # gathering (N, ..., B) geom frames with per-lane indices is the one
+    # pattern XLA lowers to serialized per-element gathers (measured ~12 ms
+    # of the round-2 substep); two one-hot contractions — (N, npair) x
+    # static table on the MXU, then (N, ngeom) x this payload — replace it
+    B = d.qpos.shape[-1]
+    payload_g = jnp.concatenate(
+        [d.geom_xpos, d.geom_xmat.reshape(m.ngeom, 9, B)],
+        axis=1)                                        # (ngeom, 12, B)
+    iota_g = jnp.arange(m.ngeom, dtype=jnp.int32)[None, :, None]
 
     out = []
     off = 0
     for (ax1, ax2, start, n, N) in m.ccd_classes:
         seg = slice(start, start + n)
-        g1 = g1_all[seg]
-        g2 = g2_all[seg]
-        core = m.ccd_core[seg].astype(dtype)   # (n, 10)
-        c1 = d.geom_xpos[g1]                   # (n, 3, B) static gather
-        c2 = d.geom_xpos[g2]
-        cc = c2 - c1
-        cn = jnp.sqrt(jnp.sum(cc * cc, axis=1, keepdims=True) + 1e-20)
-        u = cc / cn
-        R1g = d.geom_xmat[g1]
-        R2g = d.geom_xmat[g2]
-        db = (cn[:, 0] - _h(R1g, u, core[:, :5])
-              - _h(R2g, -u, core[:, 5:]))
+        db = ccd_gate(m, d, start, n, dtype)
         eff = db - m.ccd_includemargin[seg].astype(dtype)[:, None]
         _, top = jax.lax.top_k(-eff.T, N)      # (B, N)
         idx = top.T                            # (N, B)
 
-        ts = tab_all[seg][idx]                 # (N, B, 23)
-        gg1 = jnp.asarray(g1, jnp.int32)[idx]  # (N, B)
-        gg2 = jnp.asarray(g2, jnp.int32)[idx]
-        p1 = jnp.take_along_axis(d.geom_xpos, gg1[:, None, :], axis=0)
-        p2 = jnp.take_along_axis(d.geom_xpos, gg2[:, None, :], axis=0)
-        R1 = jnp.take_along_axis(d.geom_xmat, gg1[:, None, None, :],
-                                 axis=0)
-        R2 = jnp.take_along_axis(d.geom_xmat, gg2[:, None, None, :],
-                                 axis=0)
+        # lane compaction: static per-pair table via one (N, n) one-hot
+        # MXU contraction, then per-geom frames via (N, ngeom) one-hots
+        oh = (idx[:, None, :]
+              == jnp.arange(n, dtype=jnp.int32)[None, :, None]
+              ).astype(dtype)                  # (N, n, B)
+        ts = jnp.einsum("knB,nc->kcB", oh, tab_all[seg])   # (N, 25, B)
+        gg1 = jnp.round(ts[:, 23]).astype(jnp.int32)       # (N, B)
+        gg2 = jnp.round(ts[:, 24]).astype(jnp.int32)
+        oh1 = (gg1[:, None, :] == iota_g).astype(dtype)    # (N, ngeom, B)
+        oh2 = (gg2[:, None, :] == iota_g).astype(dtype)
+        f1 = jnp.einsum("kgB,gcB->kcB", oh1, payload_g)    # (N, 12, B)
+        f2 = jnp.einsum("kgB,gcB->kcB", oh2, payload_g)
+        p1, R1 = f1[:, :3], f1[:, 3:].reshape(N, 3, 3, B)
+        p2, R2 = f2[:, :3], f2[:, 3:].reshape(N, 3, 3, B)
 
-        mv = lambda sl: jnp.moveaxis(ts[..., sl], -1, 1)   # (N, c, B)
+        mv = lambda sl: ts[:, sl]                          # (N, c, B)
         prm1 = (mv(slice(0, 3)), mv(slice(3, 4)), mv(slice(4, 5)), ax1)
         prm2 = (mv(slice(5, 8)), mv(slice(8, 9)), mv(slice(9, 10)), ax2)
         sel = (m.ncon_max + start + idx).astype(jnp.int32)
@@ -464,7 +492,7 @@ def _ccd_stage(m: Model, d: Data, dtype):
         dist, pos, nrm = ccd_mod.narrowphase(p1, R1, prm1, p2, R2, prm2,
                                              iters=m.ccd_iters, u0=u0)
 
-        col = lambda i: ts[..., i]             # (N, B)
+        col = lambda i: ts[:, i]               # (N, B)
         stat = jnp.stack([col(10), col(11), col(17), col(18), col(19),
                           col(20), col(21), col(22)], axis=1)
         simp = mv(slice(12, 17))               # (N, 5, B)
@@ -504,11 +532,20 @@ def collision(m: Model, d: Data) -> Data:
             sel_local = top.T                       # (K, B)
             oh = (sel_local[:, None, :]
                   == jnp.arange(len(slots))[None, :, None]).astype(dtype)
-            dist_l.append(jnp.einsum("ksB,sB->kB", oh, dist_g))
-            pos_l.append(jnp.einsum("ksB,scB->kcB", oh, pos_all[slots]))
-            nrm_l.append(jnp.einsum("ksB,scB->kcB", oh, nrm_all[slots]))
-            stat_l.append(jnp.einsum("ksB,sc->kcB", oh, table[slots]))
-            simp_l.append(jnp.einsum("ksB,sc->kcB", oh, solimp_t[slots]))
+            # one streaming payload + one static MXU payload: the one-hot
+            # is the dominant read at ~1k candidate slots — read it twice,
+            # not five times
+            dyn = jnp.concatenate(
+                [dist_g[:, None], pos_all[slots], nrm_all[slots]], axis=1)
+            dsel = jnp.einsum("ksB,scB->kcB", oh, dyn)   # (K, 7, B)
+            stat = jnp.einsum("ksB,sc->kcB", oh,
+                              jnp.concatenate(
+                                  [table[slots], solimp_t[slots]], axis=1))
+            dist_l.append(dsel[:, 0])
+            pos_l.append(dsel[:, 1:4])
+            nrm_l.append(dsel[:, 4:7])
+            stat_l.append(stat[:, :8])
+            simp_l.append(stat[:, 8:])
             sel_l.append(jnp.asarray(slots, jnp.int32)[sel_local])
         else:
             dist_l.append(dist_g)

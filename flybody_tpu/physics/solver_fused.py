@@ -288,15 +288,9 @@ def solve_fused(m: Model, d: Data, iterations: int | None = None) -> Data:
 
     # ---- kernels -------------------------------------------------------
     use_ref = jax.default_backend() != "tpu"
-    if use_ref:
-        yd, bvec = SK.upsolve_yd_reference(
-            m.tree, jt, d.qLD, d.qLDiagInv,
-            d.qacc_smooth, jnp.zeros((R, B), dtype))
-    else:
-        yd, bvec = SK.upsolve_yd(m.tree, jt, d.qLD, d.qLDiagInv,
-                                 d.qacc_smooth, jnp.zeros((R, B), dtype))
-    velj = jnp.einsum("vrB,vB->rB", jt, d.qvel)
-    bvec = bvec - bcoef * velj - kcoef * posr
+    up_fn = SK.upsolve_yd_reference if use_ref else SK.upsolve_yd
+    yd, bvec = up_fn(m.tree, jt, d.qLD, d.qLDiagInv, d.qacc_smooth,
+                     d.qvel, kcoef, bcoef, posr)
 
     kw = dict(kl=kl, kc=kc, iterations=int(niter),
               noslip_iterations=int(m.opt.noslip_iterations))

@@ -162,10 +162,14 @@ def test_kernels_match_references_interpret():
 
     jt = jnp.asarray(rng.randn(nv, R, B), jnp.float32)
     qs = jnp.asarray(rng.randn(nv, B), jnp.float32)
-    aref = jnp.asarray(rng.randn(R, B), jnp.float32)
+    qv = jnp.asarray(rng.randn(nv, B), jnp.float32)
+    kco = jnp.asarray(rng.rand(R, B), jnp.float32)
+    bco = jnp.asarray(rng.rand(R, B), jnp.float32)
+    por = jnp.asarray(rng.randn(R, B), jnp.float32)
 
-    yd_r, b_r = SK.upsolve_yd_reference(tree, jt, LD, Dinv, qs, aref)
-    yd_k, b_k = SK.upsolve_yd(tree, jt, LD, Dinv, qs, aref,
+    yd_r, b_r = SK.upsolve_yd_reference(tree, jt, LD, Dinv, qs, qv,
+                                        kco, bco, por)
+    yd_k, b_k = SK.upsolve_yd(tree, jt, LD, Dinv, qs, qv, kco, bco, por,
                               interpret=True)
     np.testing.assert_allclose(np.asarray(yd_k), np.asarray(yd_r),
                                rtol=1e-5, atol=1e-5)

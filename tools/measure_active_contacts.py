@@ -46,31 +46,11 @@ def main():
             out[f"analytic_condim{cd}"] = jnp.sum(eff < 0.0, axis=0)
             out[f"analytic_condim{cd}_pen"] = jnp.sum(
                 dist_all[slots] < 0.0, axis=0)
-        # ccd classes: center-line support gap gate
-        g1_all = np.asarray(m.ccd_geom1)
-        g2_all = np.asarray(m.ccd_geom2)
+        # ccd classes: center-line support gap gate (shared production
+        # gate — collision.ccd_gate)
         for ci, (ax1, ax2, start, n, N) in enumerate(m.ccd_classes):
             seg = slice(start, start + n)
-            core = m.ccd_core[seg]
-            g1 = g1_all[seg]
-            g2 = g2_all[seg]
-            c1 = d.geom_xpos[g1]
-            c2 = d.geom_xpos[g2]
-            cc = c2 - c1
-            cn = jnp.sqrt(jnp.sum(cc * cc, axis=1, keepdims=True) + 1e-20)
-            u = cc / cn
-
-            def _h(R_g, u_world, half):
-                ell = half[:, 0:3, None]
-                seg_h = half[:, 3, None]
-                r = half[:, 4, None]
-                ul = jnp.einsum("njiB,njB->niB", R_g, u_world)
-                au = ell * ul
-                an = jnp.sqrt(jnp.sum(au * au, axis=1) + 1e-20)
-                return an + seg_h * jnp.abs(ul[:, 2]) + r
-
-            db = (cn[:, 0] - _h(d.geom_xmat[g1], u, core[:, :5])
-                  - _h(d.geom_xmat[g2], -u, core[:, 5:]))
+            db = col.ccd_gate(m, d, start, n, d.qpos.dtype)
             eff = db - m.ccd_includemargin[seg][:, None]
             out[f"ccd_class{ci}_ax{int(ax1)}{int(ax2)}_n{n}_budget{N}"] = \
                 jnp.sum(eff < 0.0, axis=0)

@@ -45,29 +45,13 @@ def main():
     g1_all = np.asarray(m.ccd_geom1)
     g2_all = np.asarray(m.ccd_geom2)
 
+    from flybody_tpu.physics import collision as col
+
     def gates_topk(dd):
         outs = []
         for (ax1, ax2, start, n, N) in m.ccd_classes:
             seg = slice(start, start + n)
-            core = m.ccd_core[seg].astype(dtype)
-            g1, g2 = g1_all[seg], g2_all[seg]
-            c1 = dd.geom_xpos[g1]
-            c2 = dd.geom_xpos[g2]
-            cc = c2 - c1
-            cn = jnp.sqrt(jnp.sum(cc * cc, axis=1, keepdims=True) + 1e-20)
-            u = cc / cn
-
-            def _h(R_g, u_world, half):
-                ell = half[:, 0:3, None]
-                sh = half[:, 3, None]
-                r = half[:, 4, None]
-                ul = jnp.einsum("njiB,njB->niB", R_g, u_world)
-                au = ell * ul
-                an = jnp.sqrt(jnp.sum(au * au, axis=1) + 1e-20)
-                return an + sh * jnp.abs(ul[:, 2]) + r
-
-            db = (cn[:, 0] - _h(dd.geom_xmat[g1], u, core[:, :5])
-                  - _h(dd.geom_xmat[g2], -u, core[:, 5:]))
+            db = col.ccd_gate(m, dd, start, n, dtype)
             eff = db - m.ccd_includemargin[seg].astype(dtype)[:, None]
             _, top = jax.lax.top_k(-eff.T, N)
             outs.append(top.T)
