@@ -53,7 +53,7 @@ def init_rollout_tail(cfg: RolloutConfig, n_env: int, obs_size: int,
 
 def make_rollout_fn(env, policy_apply, cfg: RolloutConfig,
                     stochastic: bool = True, action_delay: int = 0,
-                    obs_keys=None):
+                    obs_keys=None, obs_pad: int = 0):
     """Returns rollout(params, env_states, tail, rng) ->
     (new_env_states, new_tail, Transition batch (flattened windows),
     metrics).
@@ -70,7 +70,17 @@ def make_rollout_fn(env, policy_apply, cfg: RolloutConfig,
     lo, hi = env.action_spec()
     lo = jnp.asarray(lo, jnp.float32)
     hi = jnp.asarray(hi, jnp.float32)
-    concat = lambda obs: batch_concat(obs, keys=obs_keys)
+
+    def concat(obs):
+        x = batch_concat(obs, keys=obs_keys)
+        if obs_pad:
+            # zero-pad to the multi-task union obs size (positional
+            # analog of the reference SameObs normalization,
+            # rodent_tasks_modified.py:31-39)
+            x = jnp.concatenate(
+                [x, jnp.zeros(x.shape[:-1] + (obs_pad,), x.dtype)],
+                axis=-1)
+        return x
 
     def rollout(params, env_states, tail, rng):
         def one(carry, _):

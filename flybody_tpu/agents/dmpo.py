@@ -64,7 +64,7 @@ class DMPOConfig:
     num_samples: int = 20
     policy_lr: float = 1e-4
     critic_lr: float = 1e-4
-    dual_lr: float = 1e-2
+    dual_lr: float = 1e-3
     clip_global_norm: float = 40.0
     target_policy_update_period: int = 101
     target_critic_update_period: int = 107

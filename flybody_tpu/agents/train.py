@@ -74,6 +74,14 @@ class TrainerConfig:
     task_obs_keys: Sequence[str] = DEFAULT_TASK_KEYS
     intention_size: int = 60
     high_level_intention_size: int | None = None
+    # network shapes (reference network_factory.py:89-113 defaults)
+    policy_layers: Sequence[int] = (256, 256, 256)
+    critic_layers: Sequence[int] = (512, 512, 256)
+    encoder_layers: Sequence[int] = (512, 512)
+    decoder_layers: Sequence[int] = (512, 512, 512)
+    vmin: float = -150.0
+    vmax: float = 150.0
+    num_atoms: int = 51
     # transfer: freeze the decoder (restore separately via checkpoint)
     freeze_decoder: bool = False
     action_delay: int = 0
@@ -112,8 +120,12 @@ class DMPOTrainer:
                 action_size=self.action_size,
                 task_obs_size=self.task_obs_size,
                 intention_size=cfg.intention_size,
+                encoder_layers=tuple(cfg.encoder_layers),
+                decoder_layers=tuple(cfg.decoder_layers),
                 high_level_intention_size=cfg.high_level_intention_size)
-            self.critic = DistributionalCritic()
+            self.critic = DistributionalCritic(
+                layer_sizes=tuple(cfg.critic_layers), vmin=cfg.vmin,
+                vmax=cfg.vmax, num_atoms=cfg.num_atoms)
             intention_apply = (lambda p, o: self.policy.apply(
                 p, o, method=self.policy.with_intention))
             tx_wrap = ((lambda params: freeze_decoder_tx(params))
@@ -137,7 +149,10 @@ class DMPOTrainer:
             tx_wrap = None
         else:
             self.policy, self.critic, _ = make_policy_critic(
-                self.action_size, obs_size)
+                self.action_size, obs_size,
+                policy_layers=tuple(cfg.policy_layers),
+                critic_layers=tuple(cfg.critic_layers),
+                vmin=cfg.vmin, vmax=cfg.vmax, num_atoms=cfg.num_atoms)
             tx_wrap = None
 
         self.learner = DMPOLearner(self.policy, self.critic,

@@ -159,6 +159,10 @@ class FlyEnv:
 
     def step(self, state: EnvState, action: jax.Array) -> EnvState:
         model, task = self.model, self.task
+        # NaN-action scrub before physics (reference
+        # vnl_ray/tasks/walk_imitation.py:146-147 zeroes NaN actions so a
+        # diverged actor cannot poison the physics state).
+        action = jnp.where(jnp.isnan(action), 0.0, action)
         data, task_state = jax.vmap(
             lambda d, ts, a: task.before_step(model, d, ts, a),
             in_axes=(-1, -1, 0), out_axes=-1)(

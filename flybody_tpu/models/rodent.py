@@ -91,19 +91,22 @@ def build_humanoid_mj_model(arena: ArenaMeta | None = None,
 
 def make_rodent_model(arena: ArenaMeta | None = None, dtype=jnp.float32,
                       spawn_pos=(0.0, 0.0, 0.06), foot_mods: bool = False,
-                      con_sel: dict | None = None):
+                      con_sel: dict | None = None, **put_kwargs):
     """-> (engine Model, mjModel). Drops unsupported collision pairs
-    (mesh/cylinder convex pairs) like the fly pipeline does."""
+    (mesh/cylinder convex pairs) like the fly pipeline does. Extra
+    kwargs (contact_solver, fused_sel, ccd_budget) pass to put_model."""
     from flybody_tpu.physics import io_mj
 
     mj_model = build_rodent_mj_model(arena, spawn_pos=spawn_pos,
                                      foot_mods=foot_mods)
-    return io_mj.put_model(mj_model, dtype=dtype, con_sel=con_sel), mj_model
+    return io_mj.put_model(mj_model, dtype=dtype, con_sel=con_sel,
+                           **put_kwargs), mj_model
 
 
 def make_humanoid_model(arena: ArenaMeta | None = None, dtype=jnp.float32,
-                        con_sel: dict | None = None):
+                        con_sel: dict | None = None, **put_kwargs):
     from flybody_tpu.physics import io_mj
 
     mj_model = build_humanoid_mj_model(arena)
-    return io_mj.put_model(mj_model, dtype=dtype, con_sel=con_sel), mj_model
+    return io_mj.put_model(mj_model, dtype=dtype, con_sel=con_sel,
+                           **put_kwargs), mj_model

@@ -21,6 +21,12 @@ from flybody_tpu.physics.types import Data, Model
 _PI = np.pi
 
 
+def _mid(s):
+    """Middle semi-axis per geom: sum - max - min over the last axis."""
+    return (jnp.sum(s, axis=-1) - jnp.max(s, axis=-1)
+            - jnp.min(s, axis=-1))
+
+
 _SUPPORT_CACHE: dict = {}
 
 
@@ -124,14 +130,27 @@ def fluid_ellipsoid(m: Model, d: Data) -> jnp.ndarray:
     """Per-geom ellipsoid fluid model (wings). Returns (nbody, 6, B) spatial
     forces at com-root origin; zero unless the geom opts in via fluidshape.
 
-    Term forms were identified against the MuJoCo oracle by isolating each
-    fluidcoef (tests/test_fluid.py): viscous Stokes terms with the
-    mean-semi-axis equivalent sphere; blunt drag -rho*Cb*A_proj*|v|v and
-    slender drag -rho*Cs*(A_max - A_proj)*|v|v (no 1/2 factor; A_proj
-    exact ellipsoid projected area); angular drag with per-axis moment
-    (8/15)*pi*r_i*max(r_j,r_k)^4; Magnus force C_m * w x ((rho*V - m_v)*v)
-    with the precomputed virtual mass m_v (mjModel.geom_fluid[6:9]).
-    Kutta lift is approximate; added-mass d(v)/dt terms are omitted.
+    Every term is ORACLE-EXACT: the closed forms were identified
+    numerically against MuJoCo qfrc_passive over random off-axis (v, w)
+    states with each fluidcoef isolated (tools/derive_fluid.py;
+    tests/test_fluid.py asserts 1e-6 agreement per term and combined):
+
+    * viscous Stokes: -6 pi r_eq beta v / -8 pi r_eq^3 beta w,
+      r_eq = mean semi-axis;
+    * quadratic drag: -rho (C_B A_proj + C_S max(A_max - A_proj, 0))|v|v
+      with A_proj = pi sqrt(den/num), num = sum((P_i v_i)^2),
+      den = sum((P_i^2 v_i)^2), P = (s_y s_z, s_x s_z, s_x s_y),
+      A_max = pi d_max d_mid;
+    * angular drag + slender rotational drag:
+      T = -rho ||w o (C_A I + C_S (I_max - I))|| w with
+      I_i = (8/15) pi s_i max(s_j, s_k)^4, I_max = max_i I_i;
+    * Kutta lift: n = P^2 o v,
+      F = C_K rho pi sqrt(num/den)/|v| ((n x v) x v);
+    * Magnus: C_M rho V (w x v);
+    * added mass (Kirchhoff gyroscopic terms; the dv/dt parts are
+      omitted by MuJoCo as well): p = rho m_A o v, L = rho I_A o w,
+      F += p x w, T += p x v + L x w, with the compile-time virtual
+      mass/inertia m_A = geom_fluid[6:9], I_A = geom_fluid[9:12].
     """
     dtype = d.qpos.dtype
     B = d.qpos.shape[-1]
@@ -155,45 +174,55 @@ def fluid_ellipsoid(m: Model, d: Data) -> jnp.ndarray:
     c_blunt, c_slender, c_ang = fl[:, 1:2], fl[:, 2:3], fl[:, 3:4]  # (g,1)
     c_kutta, c_magnus = fl[:, 4:5], fl[:, 5:6]
     vmass = fl[:, 6:9, None]                    # (g, 3, 1)
+    vinertia = fl[:, 9:12, None]                # (g, 3, 1)
     s = m.geom_size[gids]
     sx, sy, sz = s[:, 0:1], s[:, 1:2], s[:, 2:3]   # (g, 1)
     rho, beta = m.opt.density, m.opt.viscosity
+    eps = jnp.asarray(1e-15, dtype)
 
     # viscous resistance (equivalent sphere, r = mean semi-axis)
     r_eq = (sx + sy + sz) / 3.0
     frc = -6.0 * _PI * r_eq[..., None] * beta * lin
     trq = -8.0 * _PI * (r_eq ** 3)[..., None] * beta * ang
 
-    # quadratic angular drag
+    # quadratic angular drag + slender rotational drag:
+    # T = -rho ||w o (C_A I + C_S (I_max - I))|| w
     I_ang = (8.0 / 15.0) * _PI * jnp.concatenate([
         sx * jnp.maximum(sy, sz) ** 4,
         sy * jnp.maximum(sx, sz) ** 4,
         sz * jnp.maximum(sx, sy) ** 4], axis=-1)[..., None]  # (g, 3, 1)
-    trq = trq - rho * c_ang[..., None] * I_ang * jnp.abs(ang) * ang
+    I_max = jnp.max(I_ang, axis=-2, keepdims=True)
+    mom_visc = ang * (c_ang[..., None] * I_ang
+                      + c_slender[..., None] * (I_max - I_ang))
+    trq = trq - rho * bq.norm(mom_visc)[:, None, :] * ang
 
-    # blunt + slender quadratic drag (exact projected area)
+    # blunt + slender quadratic drag (MuJoCo projected-area form)
     speed = bq.norm(lin)[:, None, :]            # (g, 1, B)
-    u = lin / jnp.maximum(speed, 1e-12)
     pair = jnp.concatenate([sy * sz, sx * sz, sx * sy], axis=-1)[..., None]
-    A_proj = _PI * jnp.sqrt(jnp.sum((pair * u) ** 2, axis=-2,
-                                    keepdims=True))
-    A_max = _PI * jnp.max(pair, axis=-2, keepdims=True)
+    p_num = jnp.sum((pair * lin) ** 2, axis=-2, keepdims=True)
+    p_den = jnp.sum((pair ** 2 * lin) ** 2, axis=-2, keepdims=True)
+    A_proj = _PI * jnp.sqrt(p_den / jnp.maximum(p_num, eps))
+    A_max = _PI * (jnp.max(s, axis=-1) * _mid(s))[:, None, None]
     drag = (rho * c_blunt[..., None] * A_proj
             + rho * c_slender[..., None] * jnp.maximum(A_max - A_proj, 0.0))
     frc = frc - drag * speed * lin
 
-    # Kutta lift (approximate closed form)
-    nvec = lin / jnp.maximum((s * s)[..., None], 1e-12)
-    nhat = nvec / jnp.maximum(bq.norm(nvec)[:, None, :], 1e-12)
-    cosun = jnp.sum(u * nhat, axis=-2, keepdims=True)
-    lift_dir = bq.cross(bq.cross(nhat, u), u)
-    frc = frc + (rho * c_kutta[..., None] * A_proj * cosun
-                 * speed * speed) * lift_dir
+    # Kutta lift: n = P^2 o v; F = C_K rho pi sqrt(num/den)/|v| (n x v) x v
+    normal = pair ** 2 * lin
+    lift = bq.cross(bq.cross(normal, lin), lin)
+    kutta_coef = (_PI * jnp.sqrt(p_num / jnp.maximum(p_den, eps))
+                  / jnp.maximum(speed, eps))
+    frc = frc + rho * c_kutta[..., None] * kutta_coef * lift
 
-    # Magnus: C_m * w x ((rho V - m_virtual) * v)
+    # Magnus: C_M rho V (w x v)
     vol = ((4.0 / 3.0) * _PI * (sx * sy * sz))[..., None]
-    weighted_v = (rho * vol - vmass) * lin
-    frc = frc + c_magnus[..., None] * bq.cross(ang, weighted_v)
+    frc = frc + c_magnus[..., None] * rho * vol * bq.cross(ang, lin)
+
+    # added mass (Kirchhoff gyroscopic terms)
+    p_mom = rho * vmass * lin
+    l_mom = rho * vinertia * ang
+    frc = frc + bq.cross(p_mom, ang)
+    trq = trq + bq.cross(p_mom, lin) + bq.cross(l_mom, ang)
 
     frc_w = bq.matvec(R, frc)
     trq_w = bq.matvec(R, trq)

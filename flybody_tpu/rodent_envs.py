@@ -25,6 +25,11 @@ from flybody_tpu.tasks import rodent_tasks as rt
 # active contact islands: the rat stands on <=8 ground contacts with a
 # handful of condim-1 self contacts; K bounds the solver rows per env.
 _CON_SEL = {1: 8, 3: 24}
+# fused production solver for all rodent envs (round 4): top-16 limit
+# rows (67 limited joints, few near violation at once) + top-24 cones
+# across the floor/self-collision groups; the rat's 1515 convex
+# candidate pairs gate to 64 ccd lanes per env.
+_FUSED = dict(contact_solver="fused", fused_sel=(16, 24), ccd_budget=64)
 
 
 def rodent_escape_bowl(time_limit: float = 20.0, dtype=jnp.float32,
@@ -34,7 +39,7 @@ def rodent_escape_bowl(time_limit: float = 20.0, dtype=jnp.float32,
     arena = ra.bowl_arena(size=20.0, seed=seed)
     model, mj = rm.make_rodent_model(arena, dtype=dtype,
                                      spawn_pos=(0.0, 0.0, 0.06),
-                                     con_sel=_CON_SEL)
+                                     con_sel=_CON_SEL, **_FUSED)
     walker = RodentWalker(model)
     task = rt.EscapeBowl(walker, terrain_size=20.0, time_limit=time_limit,
                          use_vision=use_vision)
@@ -49,7 +54,7 @@ def rodent_run_gaps(time_limit: float = 30.0, contact_termination=True,
     arena = ra.gaps_corridor(seed=seed)
     model, mj = rm.make_rodent_model(arena, dtype=dtype,
                                      spawn_pos=(5.0, 0.0, 0.06),
-                                     con_sel=_CON_SEL)
+                                     con_sel=_CON_SEL, **_FUSED)
     walker = RodentWalker(model)
     task = rt.RunThroughCorridor(
         walker, spawn_position=(5.0, 0.0), target_velocity=1.0,
@@ -66,7 +71,7 @@ def rodent_maze_forage(time_limit: float = 30.0, dtype=jnp.float32,
     arena = ra.random_maze(seed=seed)
     model, mj = rm.make_rodent_model(arena, dtype=dtype,
                                      spawn_pos=(0.0, 0.0, 0.06),
-                                     con_sel=_CON_SEL)
+                                     con_sel=_CON_SEL, **_FUSED)
     walker = RodentWalker(model)
     task = rt.ManyGoalsMaze(
         walker, spawn_positions=arena.spawn_positions,
@@ -83,7 +88,7 @@ def rodent_two_touch(time_limit: float = 30.0, dtype=jnp.float32,
     arena = ra.floor_arena(size=(10.0, 10.0))
     model, mj = rm.make_rodent_model(arena, dtype=dtype,
                                      spawn_pos=(0.0, 0.0, 0.06),
-                                     con_sel=_CON_SEL)
+                                     con_sel=_CON_SEL, **_FUSED)
     walker = RodentWalker(model)
     task = rt.TwoTouch(walker, target_area=(1.5, 1.5),
                        target_type_reward=25.0, time_limit=time_limit,
@@ -104,7 +109,7 @@ def rodent_walk_imitation(ref_path: str | None = None,
     arena = ra.floor_arena()
     model, mj = rm.make_rodent_model(arena, dtype=dtype, foot_mods=True,
                                      spawn_pos=(0.0, 0.0, 0.06),
-                                     con_sel=_CON_SEL)
+                                     con_sel=_CON_SEL, **_FUSED)
     walker = RodentWalker(model)
     if ref_path is None:
         clips = trk.synthetic_clips(model, walker, num_clips=3, length=120)
@@ -128,7 +133,7 @@ def walk_humanoid(ref_path: str | None = None,
 
     arena = ra.floor_arena()
     model, mj = rm.make_humanoid_model(arena, dtype=dtype,
-                                       con_sel={1: 8, 3: 24})
+                                       con_sel={1: 8, 3: 24}, **_FUSED)
     walker = HumanoidWalker(model)
     if ref_path is None:
         clips = trk.synthetic_clips(model, walker, num_clips=2, length=120)

@@ -210,7 +210,12 @@ def make_flight_imitation(ref_path: str | None = None,
     mj_model = spec.compile()
     amap = ff.action_indices(morph, cfg)
     from flybody_tpu.physics import io_mj
-    model = io_mj.put_model(mj_model, dtype=dtype)
+    # fused production solver. Flight config has no floor and no analytic
+    # condim-3 pairs at all (only condim-1 self-contact sensing + convex
+    # self-collision lanes); tiny budgets cover it.
+    model = io_mj.put_model(mj_model, dtype=dtype,
+                            con_sel={1: 8}, ccd_budget=32,
+                            contact_solver="fused", fused_sel=(8, 16))
     walker = FlyWalker(model, amap)
 
     if ref_path is not None:

@@ -269,7 +269,12 @@ def make_vision_flight(bumps_or_trench: str = "trench",
     mj_model = spec.compile()
     amap = ff.action_indices(morph, cfg)
     from flybody_tpu.physics import io_mj
-    model = io_mj.put_model(mj_model, dtype=dtype)
+    # fused production solver. Terrain (hfield) contacts are fatal for
+    # the task, so only grazing-depth accuracy matters; self-collision
+    # lanes as in flight_imitation.
+    model = io_mj.put_model(mj_model, dtype=dtype,
+                            con_sel={1: 8, 3: 16}, ccd_budget=32,
+                            contact_solver="fused", fused_sel=(8, 24))
     # cache camera poses for the eye renderer
     cam_pose = {}
     for c in range(mj_model.ncam):

@@ -192,7 +192,13 @@ def make_walk_imitation(ref_path: str | None = None,
     mj_model = spec.compile()
     amap = ff.action_indices(morph, cfg)
     from flybody_tpu.physics import io_mj
-    model = io_mj.put_model(mj_model, dtype=dtype)
+    # fused production solver (round 4: fast path for ALL envs, not just
+    # the bench). Budgets sized by tools/measure_active_contacts.py on a
+    # free fly over flat floor: analytic condim-3 (floor) contacts and
+    # the self-collision ccd lanes stay below these caps with margin.
+    model = io_mj.put_model(mj_model, dtype=dtype,
+                            con_sel={1: 8, 3: 24}, ccd_budget=64,
+                            contact_solver="fused", fused_sel=(16, 40))
     walker = FlyWalker(model, amap)
 
     if ref_path is not None:

@@ -24,10 +24,16 @@ def load_yaml(path: str) -> dict:
 
     def walk(node):
         for k, v in node.items():
-            if isinstance(v, dict):
+            key = str(k).replace("-", "_")
+            if key in ("task_envs", "actors_envs"):
+                # multi-task {task: num_envs} map (reference generalist
+                # configs' actors_envs) — kept as a dict, not flattened
+                flat["task_envs"] = {str(t).replace("-", "_"): int(n)
+                                     for t, n in (v or {}).items()}
+            elif isinstance(v, dict):
                 walk(v)
             else:
-                flat[str(k).replace("-", "_")] = v
+                flat[key] = v
 
     walk(raw)
     return flat

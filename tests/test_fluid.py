@@ -64,30 +64,24 @@ def test_ellipsoid_fluid_terms(coef, qvel):
     np.testing.assert_allclose(ours, theirs, atol=1e-10, rtol=1e-6)
 
 
-def test_offaxis_blunt_drag_is_reasonable():
-    """Off-axis blunt drag: MuJoCo integrates pressure over the surface
-    (adds drag torque); our axis-exact form is approximate off-axis."""
-    mj_model, model = _ellipsoid_model((1, 0, 0, 0, 0))
-    ours, theirs = _passive(mj_model, model, np.asarray(
-        [1.0, 1, 1, 0, 0, 0]))
-    ratio = np.linalg.norm(ours[:3]) / np.linalg.norm(theirs[:3])
-    assert 0.5 < ratio < 1.5, ratio
-    # direction matches (pure drag, anti-parallel to v)
-    cos = np.dot(ours[:3], theirs[:3]) / (
-        np.linalg.norm(ours[:3]) * np.linalg.norm(theirs[:3]))
-    assert cos > 0.99
-
-
-def test_kutta_lift_is_reasonable():
-    """Kutta is approximate: direction must match, magnitude within 2x."""
-    mj_model, model = _ellipsoid_model((0, 0, 0, 1, 0))
-    qvel = np.zeros(6)
-    qvel[0] = 2.0
-    qvel[2] = 2.0
-    ours, theirs = _passive(mj_model, model, qvel)
-    f_o, f_t = ours[:3], theirs[:3]
-    # perpendicular to v, same orientation
-    cos = np.dot(f_o, f_t) / (np.linalg.norm(f_o) * np.linalg.norm(f_t))
-    assert cos > 0.99, (f_o, f_t)
-    ratio = np.linalg.norm(f_o) / np.linalg.norm(f_t)
-    assert 0.5 < ratio < 2.0, ratio
+@pytest.mark.parametrize("coef", [
+    (1, 0, 0, 0, 0),     # blunt drag
+    (0, 1, 0, 0, 0),     # slender drag (incl. rotational part)
+    (0, 0, 1, 0, 0),     # angular drag
+    (0, 0, 0, 1, 0),     # kutta lift
+    (0, 0, 0, 0, 1),     # magnus
+    (0, 0, 0, 0, 0),     # added mass alone (always active)
+    (0.5, 0.25, 1.5, 1.0, 1.0),   # all defaults combined
+    (1.0, 0.5, 1.5, 1.7, 1.0),    # the fly's wing fluidcoef
+])
+def test_ellipsoid_fluid_offaxis_exact(coef):
+    """Every fluid term is ORACLE-EXACT off-axis (round 4: forms
+    identified numerically via tools/derive_fluid.py — MuJoCo projected
+    area pi*sqrt(den/num), norm-combined rotational drag, Kirchhoff
+    added-mass terms)."""
+    mj_model, model = _ellipsoid_model(coef, viscosity=0.003)
+    rng = np.random.RandomState(3)
+    for _ in range(4):
+        qvel = np.concatenate([rng.randn(3) * 2.0, rng.randn(3) * 3.0])
+        ours, theirs = _passive(mj_model, model, qvel)
+        np.testing.assert_allclose(ours, theirs, atol=1e-12, rtol=1e-6)

@@ -1,4 +1,4 @@
-"""Measure gate-hot contact counts over a walk_on_ball rollout.
+"""Measure gate-hot contact counts over a random-action rollout of any env.
 
 For each analytic condim group and each ccd class, counts per env the
 candidates whose effective distance (dist - includemargin, or the ccd
@@ -6,6 +6,9 @@ center-line support gap) is below zero at sampled states of a random-action
 rollout. The max over (envs x steps) bounds the top-K budget actually
 needed; budgets above it are pure bandwidth waste in the solver
 (PERF.md "smaller per-class budgets" lever).
+
+Env selection: ENV=walk_on_ball|walk_imitation|flight_imitation|
+vision_flight|template|rodent_<name> (default walk_on_ball).
 """
 
 import os
@@ -17,15 +20,32 @@ import jax.numpy as jnp
 
 jax.config.update("jax_compilation_cache_dir", "/tmp/jax_bench_cache")
 
-from flybody_tpu.fly_envs import walk_on_ball
 from flybody_tpu.physics import collision as col
 from flybody_tpu.physics import kinematics as K
+
+
+def make_env(name):
+    import flybody_tpu.fly_envs as fe
+    import flybody_tpu.rodent_envs as re_
+    if name == "walk_on_ball":
+        return fe.walk_on_ball()
+    if name == "walk_imitation":
+        return fe.walk_imitation()
+    if name == "flight_imitation":
+        return fe.flight_imitation()
+    if name == "vision_flight":
+        return fe.vision_guided_flight()
+    if name == "template":
+        return fe.template_task()
+    if name.startswith("rodent_"):
+        return getattr(re_, name)()
+    raise SystemExit(f"unknown ENV={name}")
 
 
 def main():
     B = int(os.environ.get("B", 256))
     T = int(os.environ.get("T", 200))
-    env = walk_on_ball()
+    env = make_env(os.environ.get("ENV", "walk_on_ball"))
     m = env.model
     rng = jax.random.PRNGKey(0)
     states = jax.jit(env.reset)(jax.random.split(rng, B))

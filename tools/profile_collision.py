@@ -68,35 +68,44 @@ def main():
     timeit("collision[no ccd]", jax.jit(
         functools.partial(col.collision, m_noccd)), d)
 
-    # ccd gates + top-k only
-    def gates(d):
-        outs = []
-        for (ax1, ax2, start, n, N) in m.ccd_classes:
-            db = col.ccd_gate(m, d, start, n, dtype)
-            eff = db - m.ccd_includemargin[start:start + n].astype(
-                dtype)[:, None]
-            _, top = jax.lax.top_k(-eff.T, N)
-            outs.append(top)
-        return outs
-    timeit("ccd gate+topk", jax.jit(gates), d)
+    # ccd sections: skip entirely on models without ccd classes (e.g.
+    # a no-ccd variant) so the tool degrades to analytic-only profiling
+    if m.ccd_classes:
+        # ccd gates + top-k only
+        def gates(d):
+            outs = []
+            for (ax1, ax2, start, n, N) in m.ccd_classes:
+                db = col.ccd_gate(m, d, start, n, dtype)
+                eff = db - m.ccd_includemargin[start:start + n].astype(
+                    dtype)[:, None]
+                _, top = jax.lax.top_k(-eff.T, N)
+                outs.append(top)
+            return outs
+        timeit("ccd gate+topk", jax.jit(gates), d)
 
-    timeit("ccd stage (full)", jax.jit(
-        functools.partial(col._ccd_stage, m, dtype=dtype)), d)
+        timeit("ccd stage (full)", jax.jit(
+            functools.partial(col._ccd_stage, m, dtype=dtype)), d)
 
-    # pgd alone on fixed lanes (first class worth of lanes, cold start)
-    (ax1, ax2, start, n, N) = m.ccd_classes[0]
-    g1 = np.asarray(m.ccd_geom1)[start:start + N]
-    g2 = np.asarray(m.ccd_geom2)[start:start + N]
-    core = m.ccd_core[start:start + N].astype(dtype)
-    p1, R1 = d.geom_xpos[g1], d.geom_xmat[g1]
-    p2, R2 = d.geom_xpos[g2], d.geom_xmat[g2]
-    mb = lambda x: jnp.broadcast_to(x[..., None], x.shape + (B,))
-    prm1 = (mb(core[:, 0:3]), mb(core[:, 3:4]), mb(core[:, 4:5]), ax1)
-    prm2 = (mb(core[:, 5:8]), mb(core[:, 8:9]), mb(core[:, 9:10]), ax2)
-    timeit(f"ccd pgd x{N} lanes cls0", jax.jit(
-        lambda p1, R1, p2, R2: ccd_mod.narrowphase(
-            p1, R1, prm1, p2, R2, prm2, iters=m.ccd_iters)),
-        p1, R1, p2, R2)
+        # pgd alone on fixed lanes (first class worth of lanes). The
+        # prm tensors are passed as jit ARGUMENTS (not closure
+        # constants) so XLA cannot constant-fold the lane setup; still
+        # a cold-start probe with u0=None — in-situ PGD inside
+        # _ccd_stage additionally pays lane compaction + warm-start
+        # matching, so compare against 'ccd stage (full)' accordingly.
+        (ax1, ax2, start, n, N) = m.ccd_classes[0]
+        g1 = np.asarray(m.ccd_geom1)[start:start + N]
+        g2 = np.asarray(m.ccd_geom2)[start:start + N]
+        core = m.ccd_core[start:start + N].astype(dtype)
+        p1, R1 = d.geom_xpos[g1], d.geom_xmat[g1]
+        p2, R2 = d.geom_xpos[g2], d.geom_xmat[g2]
+        mb = lambda x: jnp.broadcast_to(x[..., None], x.shape + (B,))
+        core1 = (mb(core[:, 0:3]), mb(core[:, 3:4]), mb(core[:, 4:5]))
+        core2 = (mb(core[:, 5:8]), mb(core[:, 8:9]), mb(core[:, 9:10]))
+        timeit(f"ccd pgd x{N} lanes cls0 (cold)", jax.jit(
+            lambda p1, R1, p2, R2, c1, c2: ccd_mod.narrowphase(
+                p1, R1, (*c1, ax1), p2, R2, (*c2, ax2),
+                iters=m.ccd_iters)),
+            p1, R1, p2, R2, core1, core2)
 
     timeit("collision (full)", jax.jit(
         functools.partial(col.collision, m)), d)

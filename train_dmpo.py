@@ -52,6 +52,10 @@ def make_env(name: str, **kwargs):
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--task", default="walk_on_ball", choices=sorted(TASKS))
+    p.add_argument("--task-envs", default="",
+                   help="multi-task mode: 'task:num_envs,task:num_envs' "
+                        "(reference generalist configs' actors_envs); "
+                        "overrides --task")
     p.add_argument("--num-envs", type=int, default=256)
     p.add_argument("--unroll-length", type=int, default=20)
     p.add_argument("--batch-size", type=int, default=256)
@@ -60,6 +64,25 @@ def main():
     p.add_argument("--min-replay-size", type=int, default=10_000)
     p.add_argument("--samples-per-insert", type=float, default=32.0)
     p.add_argument("--n-step", type=int, default=5)
+    # learner hyperparameters (reference ray_distributed_dmpo.py:44-82 +
+    # config/train_config_*.yaml knob surface)
+    p.add_argument("--policy-lr", type=float, default=1e-4)
+    p.add_argument("--critic-lr", type=float, default=1e-4)
+    p.add_argument("--dual-lr", type=float, default=1e-3)
+    p.add_argument("--discount", type=float, default=0.99)
+    p.add_argument("--num-samples", type=int, default=20)
+    p.add_argument("--target-policy-update-period", type=int, default=101)
+    p.add_argument("--target-critic-update-period", type=int, default=107)
+    p.add_argument("--clip-global-norm", type=float, default=40.0)
+    # network shapes (reference network_factory.py:89-113)
+    p.add_argument("--policy-layers", default="256,256,256")
+    p.add_argument("--critic-layers", default="512,512,256")
+    p.add_argument("--encoder-layers", default="512,512")
+    p.add_argument("--decoder-layers", default="512,512,512")
+    p.add_argument("--vmin", type=float, default=-150.0)
+    p.add_argument("--vmax", type=float, default=150.0)
+    p.add_argument("--num-atoms", type=int, default=51)
+    p.add_argument("--action-delay", type=int, default=0)
     p.add_argument("--log-every", type=int, default=10)
     p.add_argument("--ckpt-dir", default="")
     p.add_argument("--ckpt-minutes", type=float, default=30.0)
@@ -96,7 +119,21 @@ def main():
         args.iterations = min(args.iterations, 20)
         args.log_every = 1
 
-    env = make_env(args.task)
+    def layers(s):
+        if isinstance(s, (list, tuple)):
+            return tuple(int(x) for x in s)
+        return tuple(int(x) for x in str(s).split(",") if str(x).strip())
+
+    # multi-task spec: dict from YAML (task_envs/actors_envs) or
+    # "task:n,task:n" from the CLI
+    task_envs = args.task_envs
+    if isinstance(task_envs, str) and task_envs:
+        task_envs = {kv.split(":")[0]: int(kv.split(":")[1])
+                     for kv in task_envs.split(",")}
+    task_envs = {k: n for k, n in (task_envs or {}).items() if n > 0}
+    if args.test and task_envs:
+        task_envs = {k: max(8, jax.device_count()) for k in task_envs}
+
     cfg = TrainerConfig(
         num_envs=args.num_envs, unroll_length=args.unroll_length,
         replay_capacity=args.replay_capacity,
@@ -106,9 +143,34 @@ def main():
         intention_size=args.intention_size,
         high_level_intention_size=(args.high_level_intention_size or None),
         freeze_decoder=bool(args.transfer_ckpt),
+        policy_layers=layers(args.policy_layers),
+        critic_layers=layers(args.critic_layers),
+        encoder_layers=layers(args.encoder_layers),
+        decoder_layers=layers(args.decoder_layers),
+        vmin=args.vmin, vmax=args.vmax, num_atoms=args.num_atoms,
+        action_delay=args.action_delay,
         dmpo=DMPOConfig(batch_size=args.batch_size, n_step=args.n_step,
+                        discount=args.discount,
+                        num_samples=args.num_samples,
+                        policy_lr=args.policy_lr, critic_lr=args.critic_lr,
+                        dual_lr=args.dual_lr,
+                        clip_global_norm=args.clip_global_norm,
+                        target_policy_update_period=(
+                            args.target_policy_update_period),
+                        target_critic_update_period=(
+                            args.target_critic_update_period),
                         intention_kl_weight=args.intention_kl_weight))
-    trainer = DMPOTrainer(env, cfg)
+    if task_envs:
+        # multi-task generalist: per-task env shards + per-task replay
+        # tables + round-robin learner (reference train_dmpo_ray.py
+        # actors_envs topology)
+        from flybody_tpu.agents.multitask import (MultiTaskDMPOTrainer,
+                                                  multitask_shardings)
+        envs = {k: make_env(k) for k in task_envs}
+        trainer = MultiTaskDMPOTrainer(envs, task_envs, cfg)
+    else:
+        env = make_env(args.task)
+        trainer = DMPOTrainer(env, cfg)
     if args.kickstart_ckpt:
         teacher = ckpt.restore_policy_params(args.kickstart_ckpt)
         trainer.load_teacher(teacher, args.kickstart_epsilon)
@@ -123,8 +185,12 @@ def main():
         print(f"transfer: decoder restored from {args.transfer_ckpt} "
               "and frozen")
     mesh = make_mesh()
-    loop = shard_loop_state(mesh, loop)
-    sh = loop_shardings(mesh, loop)
+    if task_envs:
+        sh = multitask_shardings(mesh, loop)
+        loop = jax.tree.map(jax.device_put, loop, sh)
+    else:
+        loop = shard_loop_state(mesh, loop)
+        sh = loop_shardings(mesh, loop)
     step = jax.jit(trainer.train_iteration,
                    in_shardings=(sh,), out_shardings=(sh, None))
 
