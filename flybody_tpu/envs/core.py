@@ -186,6 +186,17 @@ class FlyEnv:
         # observations see the post-reward task state (composer hook order:
         # after_step -> get_reward -> observation assembly)
         obs = self._obs(data, task_state, sensor_mean)
+        # NaN hygiene at the env boundary: a blown-up episode (f32 physics
+        # can jump past the qacc guard to NaN within one control step)
+        # terminates with discount 0, but its terminal observation still
+        # enters n-step windows as the bootstrap obs — the critic would
+        # forward NaN regardless of the zero discount. Scrub obs/reward/
+        # discount so consumers never see non-finite values (reference
+        # hygiene analog: walk_imitation.py:146-147 + base.py:214-217).
+        obs = jax.tree_util.tree_map(
+            lambda x: jnp.where(jnp.isfinite(x), x, 0.0), obs)
+        reward = jnp.where(jnp.isfinite(reward), reward, 0.0)
+        discount = jnp.where(jnp.isfinite(discount), discount, 0.0)
         step_idx = state.step_idx + 1
         truncated = step_idx >= self.episode_steps
         done = jnp.logical_or(terminated, truncated)

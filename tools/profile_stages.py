@@ -71,10 +71,6 @@ def main():
     print("---", flush=True)
     timeit("full substep (step)", vj(F.step), d)
 
-    meta = C.efc_meta(m)
-    mk = jax.jit(jax.vmap(lambda dd: C.make_efc(m, dd, meta)))
-    timeit("  make_efc", mk, d)
-
 
 if __name__ == "__main__":
     main()
