@@ -121,6 +121,7 @@ def make_rollout_fn(env, policy_apply, cfg: RolloutConfig,
         transitions = nstep_from_trajectory(full, cfg)
         metrics = {
             "mean_reward": jnp.mean(traj["reward"]),
+            "obs_absmax": jnp.max(jnp.abs(traj["obs"])),
             "episodes_done": jnp.sum(traj["done"]),
             "mean_episode_return": (
                 jnp.sum(jnp.where(traj["done"], traj["episode_return"], 0.0))

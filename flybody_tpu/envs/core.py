@@ -120,6 +120,12 @@ class FlyEnv:
         self.n_substeps = int(round(task.ctrl_dt / task.phys_dt))
         self.episode_steps = int(round(task.time_limit / task.ctrl_dt))
         self.dtype = dtype
+        r = int(getattr(model, "col_refresh", 1) or 1)
+        if r > 1 and self.n_substeps % r != 0:
+            raise ValueError(
+                f"col_refresh={r} must divide substeps-per-control-step "
+                f"({self.n_substeps}) so auto-reset lands on a selection "
+                "refresh")
 
     # -- specs ------------------------------------------------------------
     @property
@@ -172,8 +178,28 @@ class FlyEnv:
             d = F.step(model, d)
             return d, d.sensordata
 
-        data, sensor_hist = jax.lax.scan(substep, data, None,
-                                         length=self.n_substeps)
+        r = int(getattr(model, "col_refresh", 1) or 1)
+        if r <= 1:
+            data, sensor_hist = jax.lax.scan(substep, data, None,
+                                             length=self.n_substeps)
+        else:
+            # selection-persistent collision schedule: substep 0 of each
+            # r-block runs full gated selection, the next r-1 substeps
+            # refresh geometry for the same lanes (physics/collision.py
+            # collision_update). r divides n_substeps (checked in
+            # __init__), so auto-reset always lands on a refresh.
+            def substep_cheap(d, _):
+                d = F.step(model, d, col_update=True)
+                return d, d.sensordata
+
+            def block(d, _):
+                d, s0 = substep(d, None)
+                d, st = jax.lax.scan(substep_cheap, d, None, length=r - 1)
+                return d, jnp.concatenate([s0[None], st], axis=0)
+
+            data, sh = jax.lax.scan(block, data, None,
+                                    length=self.n_substeps // r)
+            sensor_hist = sh.reshape((-1,) + sh.shape[2:])
         sensor_mean = jnp.mean(sensor_hist, axis=0)
         data, task_state = jax.vmap(
             lambda d, ts: task.after_substeps(model, d, ts),
@@ -193,10 +219,17 @@ class FlyEnv:
         # forward NaN regardless of the zero discount. Scrub obs/reward/
         # discount so consumers never see non-finite values (reference
         # hygiene analog: walk_imitation.py:146-147 + base.py:214-217).
-        obs = jax.tree_util.tree_map(
-            lambda x: jnp.where(jnp.isfinite(x), x, 0.0), obs)
-        reward = jnp.where(jnp.isfinite(reward), reward, 0.0)
-        discount = jnp.where(jnp.isfinite(discount), discount, 0.0)
+        # The magnitude clamp handles huge-but-FINITE terminal readings
+        # (accelerometer/force near the qacc=1e14 guard): squaring
+        # anything past ~1e19 overflows f32 inside LayerNorm/critic math,
+        # so bound terminal garbage to a scale no live physical signal in
+        # this CGS model approaches.
+        scrub = lambda x: jnp.clip(
+            jnp.where(jnp.isfinite(x), x, 0.0), -1e8, 1e8)
+        obs = jax.tree_util.tree_map(scrub, obs)
+        reward = scrub(reward)
+        discount = jnp.clip(
+            jnp.where(jnp.isfinite(discount), discount, 0.0), 0.0, 1.0)
         step_idx = state.step_idx + 1
         truncated = step_idx >= self.episode_steps
         done = jnp.logical_or(terminated, truncated)

@@ -34,6 +34,11 @@ class FlyWalker:
         # claw sites (end effectors), present when legs are on
         self.claw_sites = [v for k, v in sorted(names["site"].items())
                            if k.startswith("claw_")]
+        # appendages = end effectors + the head site (reference
+        # fruitfly.py:440-446)
+        self.appendage_sites = list(self.claw_sites)
+        if "head" in names["site"]:
+            self.appendage_sites.append(names["site"]["head"])
         # sensor addresses by name
         self.sensor_adr = {}
         for name, sid in names["sensor"].items():
@@ -119,11 +124,11 @@ class FlyWalker:
         return data.xpos[self.abdomen_id][2]
 
     def appendages_pos(self, data: Data):
-        """Egocentric claw (end effector) positions, flattened
-        (reference fruitfly.py:628-638)."""
-        if not self.claw_sites:
+        """Egocentric appendage positions (claws + head site), flattened
+        (reference fruitfly.py:628-638 over appendages :440-446)."""
+        if not self.appendage_sites:
             return jnp.zeros((0,))
-        tips = data.site_xpos[np.asarray(self.claw_sites)]
+        tips = data.site_xpos[np.asarray(self.appendage_sites)]
         root_pos = data.xpos[self.thorax_id]
         root_quat = data.xquat[self.thorax_id]
         ego = mq.rotate_vec_with_quat(tips - root_pos,

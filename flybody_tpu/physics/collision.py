@@ -306,6 +306,46 @@ def _dispatch(m: Model, t1: int, t2: int):
     raise NotImplementedError(f"collision pair {(t1, t2)}")
 
 
+def _pair_groups(m: Model):
+    """Static layout shared by _narrowphase and collision_update:
+    (groups dict {(t1,t2): [pair indices]} in first-occurrence order,
+    slot_of_pair prefix sums)."""
+    from flybody_tpu.physics.io_mj import _PAIR_NCON
+
+    ptypes = np.asarray(m.pair_type)
+    npair = ptypes.shape[0]
+    groups: dict[tuple, list[int]] = {}
+    for k in range(npair):
+        groups.setdefault((int(ptypes[k, 0]), int(ptypes[k, 1])), []).append(k)
+    slot_of_pair = np.concatenate(
+        [[0], np.cumsum([_PAIR_NCON[(int(ptypes[k, 0]), int(ptypes[k, 1]))]
+                         for k in range(npair)])]).astype(int)
+    return groups, slot_of_pair
+
+
+def _slot_identity(m: Model):
+    """Static per-slot identity: (g1, g2, typ, sub) over the ncon_max
+    analytic slots. typ indexes the _pair_groups order; sub is the
+    sub-contact index within the pair's narrowphase output."""
+    groups, slot_of_pair = _pair_groups(m)
+    g1s = np.asarray(m.pair_geom1)
+    g2s = np.asarray(m.pair_geom2)
+    typ_of_pair = np.zeros(len(g1s), dtype=np.int32)
+    for tid, (key, pidx) in enumerate(groups.items()):
+        typ_of_pair[pidx] = tid
+    slot_g1 = np.zeros(m.ncon_max, dtype=np.int32)
+    slot_g2 = np.zeros(m.ncon_max, dtype=np.int32)
+    slot_typ = np.zeros(m.ncon_max, dtype=np.int32)
+    slot_sub = np.zeros(m.ncon_max, dtype=np.int32)
+    for p in range(len(g1s)):
+        a, b = slot_of_pair[p], slot_of_pair[p + 1]
+        slot_g1[a:b] = g1s[p]
+        slot_g2[a:b] = g2s[p]
+        slot_typ[a:b] = typ_of_pair[p]
+        slot_sub[a:b] = np.arange(b - a)
+    return slot_g1, slot_g2, slot_typ, slot_sub
+
+
 def _narrowphase(m: Model, d: Data):
     """All candidate pairs -> per-slot (dist (ncon, B), pos (ncon, 3, B),
     normal (ncon, 3, B)). No frames: those are built post-selection."""
@@ -313,15 +353,7 @@ def _narrowphase(m: Model, d: Data):
 
     g1s = np.asarray(m.pair_geom1)
     g2s = np.asarray(m.pair_geom2)
-    ptypes = np.asarray(m.pair_type)
-
-    groups: dict[tuple, list[int]] = {}
-    for k in range(len(g1s)):
-        groups.setdefault((int(ptypes[k, 0]), int(ptypes[k, 1])), []).append(k)
-
-    slot_of_pair = np.concatenate(
-        [[0], np.cumsum([_PAIR_NCON[(int(ptypes[k, 0]), int(ptypes[k, 1]))]
-                         for k in range(len(g1s))])]).astype(int)
+    groups, slot_of_pair = _pair_groups(m)
 
     dtype = d.qpos.dtype
     B = d.qpos.shape[-1]
@@ -352,17 +384,19 @@ def _narrowphase(m: Model, d: Data):
 
 
 def _slot_table(m: Model, dtype):
-    """(ncon, 7) traced per-slot static solver params:
-    [solref0, solref1, mu, invw, includemargin, b1, b2] plus the (ncon, 5)
-    solimp block. Traced (not numpy) so solref/solimp stay randomizable."""
+    """(ncon, 12) traced per-slot static solver params:
+    [solref0, solref1, mu, invw, includemargin, marginfull, b1, b2,
+    g1, g2, typ, sub] plus the (ncon, 5) solimp block. Traced (not
+    numpy) so solref/solimp stay randomizable."""
     from flybody_tpu.physics.actuation import _slot_bodies
     b1s, b2s = _slot_bodies(m)
+    sg1, sg2, styp, ssub = _slot_identity(m)
     invw = (m.body_invweight0[b1s, 0] + m.body_invweight0[b2s, 0])
+    f = lambda x: jnp.asarray(x, dtype=m.con_includemargin.dtype)
     cols = jnp.stack([
         m.con_solref[:, 0], m.con_solref[:, 1],
         m.con_friction[:, 0], invw, m.con_includemargin, m.con_margin,
-        jnp.asarray(b1s, dtype=m.con_includemargin.dtype),
-        jnp.asarray(b2s, dtype=m.con_includemargin.dtype),
+        f(b1s), f(b2s), f(sg1), f(sg2), f(styp), f(ssub),
     ], axis=1).astype(dtype)
     return cols, m.con_solimp.astype(dtype)
 
@@ -494,9 +528,11 @@ def _ccd_stage(m: Model, d: Data, dtype):
 
         col = lambda i: ts[:, i]               # (N, B)
         stat = jnp.stack([col(10), col(11), col(17), col(18), col(19),
-                          col(20), col(21), col(22)], axis=1)
+                          col(20), col(21), col(22), col(23), col(24),
+                          jnp.full_like(col(0), -1.0),
+                          jnp.zeros_like(col(0))], axis=1)
         simp = mv(slice(12, 17))               # (N, 5, B)
-        out.append((dist, pos, nrm, stat, simp, sel))
+        out.append((dist, pos, nrm, stat, simp, sel, ts))
         off += N
     return out
 
@@ -544,15 +580,15 @@ def collision(m: Model, d: Data) -> Data:
             dist_l.append(dsel[:, 0])
             pos_l.append(dsel[:, 1:4])
             nrm_l.append(dsel[:, 4:7])
-            stat_l.append(stat[:, :8])
-            simp_l.append(stat[:, 8:])
+            stat_l.append(stat[:, :12])
+            simp_l.append(stat[:, 12:])
             sel_l.append(jnp.asarray(slots, jnp.int32)[sel_local])
         else:
             dist_l.append(dist_g)
             pos_l.append(pos_all[slots])
             nrm_l.append(nrm_all[slots])
             stat_l.append(jnp.broadcast_to(table[slots][..., None],
-                                           (len(slots), 8, B)))
+                                           (len(slots), 12, B)))
             simp_l.append(jnp.broadcast_to(solimp_t[slots][..., None],
                                            (len(slots), 5, B)))
             sel_l.append(jnp.broadcast_to(
@@ -560,8 +596,8 @@ def collision(m: Model, d: Data) -> Data:
 
     ccd_warm = None
     if m.ccd_budget > 0:
-        warm_id_l, warm_u_l = [], []
-        for (cds, cdp, cdn, cst, csi, csel) in _ccd_stage(m, d, dtype):
+        warm_id_l, warm_u_l, lane_tab_l = [], [], []
+        for (cds, cdp, cdn, cst, csi, csel, cts) in _ccd_stage(m, d, dtype):
             dist_l.append(cds)
             pos_l.append(cdp)
             nrm_l.append(cdn)
@@ -570,8 +606,10 @@ def collision(m: Model, d: Data) -> Data:
             sel_l.append(csel)
             warm_id_l.append(csel)
             warm_u_l.append(cdn)
+            lane_tab_l.append(cts)
         ccd_warm = (jnp.concatenate(warm_id_l, axis=0),
-                    jnp.concatenate(warm_u_l, axis=0))
+                    jnp.concatenate(warm_u_l, axis=0),
+                    jnp.concatenate(lane_tab_l, axis=0))
 
     sel = jnp.concatenate(sel_l, axis=0)
     dist = jnp.concatenate(dist_l, axis=0)
@@ -586,6 +624,11 @@ def collision(m: Model, d: Data) -> Data:
     marginfull = stat[:, 5]
     b1 = jnp.round(stat[:, 6]).astype(jnp.int32)
     b2 = jnp.round(stat[:, 7]).astype(jnp.int32)
+    g1 = jnp.round(stat[:, 8]).astype(jnp.int32)
+    g2 = jnp.round(stat[:, 9]).astype(jnp.int32)
+    typ = jnp.round(stat[:, 10]).astype(jnp.int32)
+    sub = jnp.round(stat[:, 11]).astype(jnp.int32)
+    solref = stat[:, 0:2]
     pos_c = dist - margin
     k_, b_, imp = _kbi((stat[:, 0], stat[:, 1]),
                        tuple(simp[:, i] for i in range(5)), pos_c,
@@ -596,8 +639,132 @@ def collision(m: Model, d: Data) -> Data:
     contact = Contact(
         sel=sel, dist=dist, pos=pos, frame=frame, k=k_, b=b_, R=R,
         mu=mu, invw=invw, margin=margin, marginfull=marginfull,
-        b1=b1, b2=b2)
+        b1=b1, b2=b2, g1=g1, g2=g2, typ=typ, sub=sub,
+        solref=solref, solimp=simp)
     if ccd_warm is not None:
         return d.replace(contact=contact, ccd_warm_id=ccd_warm[0],
-                         ccd_warm_u=ccd_warm[1].astype(d.ccd_warm_u.dtype))
+                         ccd_warm_u=ccd_warm[1].astype(d.ccd_warm_u.dtype),
+                         ccd_lane_tab=ccd_warm[2].astype(
+                             d.ccd_lane_tab.dtype))
+    return d.replace(contact=contact)
+
+
+def collision_update(m: Model, d: Data) -> Data:
+    """Geometry/impedance refresh for the ALREADY-SELECTED contact lanes.
+
+    The cheap half of the Model.col_refresh split: no gates, no top-K, no
+    candidate-wide narrowphase, no lane compaction. Per lane (identity
+    stored in d.contact.{g1,g2,typ,sub} and d.ccd_lane_tab):
+
+    * analytic lanes: one-hot gather the two geom frames/sizes, evaluate
+      every analytic type-group's closed form on the lane set (a handful
+      of lanes x a handful of type groups), and mask-select by the
+      lane's (typ, sub);
+    * ccd lanes: rerun the exact-convex narrowphase on the cached lane
+      support params with the lane's own previous direction as warm
+      start (no lane matching);
+    * impedance: re-evaluate k/b/R from the stored solref/solimp at the
+      new penetration.
+
+    The selected SET lags by at most col_refresh-1 substeps; geometry
+    and forces are always current.
+    """
+    from flybody_tpu.physics import ccd as ccd_mod
+    from flybody_tpu.physics.constraint import _kbi, efc_meta
+
+    if m.ncon_max == 0 and m.ccd_budget == 0:
+        return d
+    meta = efc_meta(m)
+    dtype = d.qpos.dtype
+    B = d.qpos.shape[-1]
+    con = d.contact
+    con_dim = np.asarray(m.con_dim)
+    _, _, slot_typ, _ = _slot_identity(m)
+    groups, _ = _pair_groups(m)
+    from flybody_tpu.physics.io_mj import _PAIR_NCON
+    group_list = [(key, _PAIR_NCON[key]) for key in groups]
+
+    geom_payload = jnp.concatenate(
+        [d.geom_xpos, d.geom_xmat.reshape(m.ngeom, 9, B)], axis=1)
+    iota_g = jnp.arange(m.ngeom, dtype=jnp.int32)[None, :, None]
+    sizes_t = m.geom_size.astype(dtype)        # (ngeom, 3)
+
+    dist_l, pos_l, nrm_l = [], [], []
+    row = 0
+    for cd, K in meta.analytic_groups:
+        slots = np.nonzero(con_dim == cd)[0]
+        nr = min(K, len(slots))
+        rows = slice(row, row + nr)
+        row += nr
+        lg1, lg2 = con.g1[rows], con.g2[rows]
+        ltyp, lsub = con.typ[rows], con.sub[rows]
+        oh1 = (lg1[:, None, :] == iota_g).astype(dtype)   # (nr, ngeom, B)
+        oh2 = (lg2[:, None, :] == iota_g).astype(dtype)
+        f1 = jnp.einsum("kgB,gcB->kcB", oh1, geom_payload)
+        f2 = jnp.einsum("kgB,gcB->kcB", oh2, geom_payload)
+        p1, M1 = f1[:, :3], f1[:, 3:].reshape(nr, 3, 3, B)
+        p2, M2 = f2[:, :3], f2[:, 3:].reshape(nr, 3, 3, B)
+        s1 = jnp.einsum("kgB,gc->kcB", oh1, sizes_t)
+        s2 = jnp.einsum("kgB,gc->kcB", oh2, sizes_t)
+
+        dist = jnp.full((nr, B), 1e10, dtype=dtype)
+        pos = jnp.zeros((nr, 3, B), dtype=dtype)
+        nrm = jnp.zeros((nr, 3, B), dtype=dtype).at[:, 2].set(1.0)
+        for tid, (key, kk) in enumerate(group_list):
+            # static reachability: does this type group contribute slots
+            # to this condim group at all?
+            if not np.any(slot_typ[slots] == tid):
+                continue
+            fn = _dispatch(m, key[0], key[1])
+            dd, pp, nn = fn(p1, M1, s1, p2, M2, s2)  # (nr, kk, *, B)
+            is_t = ltyp == tid
+            for j in range(kk):
+                msk = is_t & (lsub == j)
+                dist = jnp.where(msk, dd[:, j], dist)
+                pos = jnp.where(msk[:, None], pp[:, j], pos)
+                nrm = jnp.where(msk[:, None], nn[:, j], nrm)
+        dist_l.append(dist)
+        pos_l.append(pos)
+        nrm_l.append(nrm)
+
+    new_warm_u = None
+    if m.ccd_budget > 0:
+        warm_u_l = []
+        off = 0
+        for (ax1, ax2, start, n, N) in m.ccd_classes:
+            ts = d.ccd_lane_tab[off:off + N].astype(dtype)
+            gg1 = jnp.round(ts[:, 23]).astype(jnp.int32)
+            gg2 = jnp.round(ts[:, 24]).astype(jnp.int32)
+            oh1 = (gg1[:, None, :] == iota_g).astype(dtype)
+            oh2 = (gg2[:, None, :] == iota_g).astype(dtype)
+            f1 = jnp.einsum("kgB,gcB->kcB", oh1, geom_payload)
+            f2 = jnp.einsum("kgB,gcB->kcB", oh2, geom_payload)
+            p1, R1 = f1[:, :3], f1[:, 3:].reshape(N, 3, 3, B)
+            p2, R2 = f2[:, :3], f2[:, 3:].reshape(N, 3, 3, B)
+            mv = lambda sl: ts[:, sl]
+            prm1 = (mv(slice(0, 3)), mv(slice(3, 4)), mv(slice(4, 5)), ax1)
+            prm2 = (mv(slice(5, 8)), mv(slice(8, 9)), mv(slice(9, 10)), ax2)
+            u0 = d.ccd_warm_u[off:off + N].astype(dtype)
+            cds, cdp, cdn = ccd_mod.narrowphase(
+                p1, R1, prm1, p2, R2, prm2, iters=m.ccd_iters, u0=u0)
+            dist_l.append(cds)
+            pos_l.append(cdp)
+            nrm_l.append(cdn)
+            warm_u_l.append(cdn)
+            off += N
+        new_warm_u = jnp.concatenate(warm_u_l, axis=0)
+
+    dist = jnp.concatenate(dist_l, axis=0)
+    pos = jnp.concatenate(pos_l, axis=0)
+    nrm = jnp.concatenate(nrm_l, axis=0)
+    pos_c = dist - con.margin
+    k_, b_, imp = _kbi((con.solref[:, 0], con.solref[:, 1]),
+                       tuple(con.solimp[:, i] for i in range(5)), pos_c,
+                       tsmin=2.0 * m.opt.timestep)
+    R = jnp.maximum((1.0 - imp) / imp * con.invw, 1e-12)
+    contact = con.replace(dist=dist, pos=pos, frame=_make_frame(nrm),
+                          k=k_, b=b_, R=R)
+    if new_warm_u is not None:
+        return d.replace(contact=contact,
+                         ccd_warm_u=new_warm_u.astype(d.ccd_warm_u.dtype))
     return d.replace(contact=contact)

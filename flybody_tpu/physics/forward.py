@@ -25,12 +25,15 @@ from flybody_tpu.physics import types as T
 from flybody_tpu.physics.types import Data, Model
 
 
-def fwd_position(m: Model, d: Data) -> Data:
+def fwd_position(m: Model, d: Data, col_update: bool = False) -> Data:
+    """col_update=True runs the cheap selection-persistent collision
+    refresh (Model.col_refresh > 1 substep schedule) instead of the full
+    gated selection."""
     d = K.kinematics(m, d)
     d = K.com_pos(m, d)
     d = K.tendon(m, d)
     d = S.crb(m, d)
-    d = col.collision(m, d)
+    d = col.collision_update(m, d) if col_update else col.collision(m, d)
     d = S.transmission(m, d)
     return d
 
@@ -67,13 +70,13 @@ def fwd_acceleration(m: Model, d: Data) -> Data:
     return d.replace(qfrc_smooth=qfrc_smooth, qacc_smooth=qacc_smooth)
 
 
-def forward(m: Model, d: Data) -> Data:
+def forward(m: Model, d: Data, col_update: bool = False) -> Data:
     """Full forward dynamics: qacc from (qpos, qvel, ctrl, act).
 
     Adhesion transmission consumes the selected contacts directly in
     factorized 6D-wrench form (actuation.adhesion_qfrc), so no constraint
     assembly happens before the solver stage."""
-    d = fwd_position(m, d)
+    d = fwd_position(m, d, col_update=col_update)
     d = fwd_velocity(m, d)
     d = fwd_actuation(m, d)
     d = fwd_acceleration(m, d)
@@ -148,9 +151,9 @@ def euler(m: Model, d: Data) -> Data:
     return d.replace(qpos=qpos, qvel=qvel, act=act, time=d.time + h)
 
 
-def step(m: Model, d: Data) -> Data:
+def step(m: Model, d: Data, col_update: bool = False) -> Data:
     """One physics step: forward dynamics + integration (+ sensors)."""
-    d = forward(m, d)
+    d = forward(m, d, col_update=col_update)
     from flybody_tpu.physics import sensors as sens
     d = sens.sensor(m, d)
     d = euler(m, d)

@@ -204,7 +204,8 @@ def _sensor_code(mj_type: int) -> int:
 def put_model(m, dtype=jnp.float32, con_sel: dict | None = None,
               ccd_budget: int = 128, ccd_iters: int = 8,
               contact_solver: str = "apgd",
-              fused_sel: tuple = (24, 24)) -> Model:
+              fused_sel: tuple = (24, 24),
+              col_refresh: int = 1) -> Model:
     """Convert a compiled mjModel into the engine's Model pytree.
 
     con_sel: optional {condim: K} overrides for the per-condim active
@@ -416,6 +417,7 @@ def put_model(m, dtype=jnp.float32, con_sel: dict | None = None,
         ccd_b1=s(np.asarray(m.geom_bodyid)[ccd_g1].astype(np.int32)),
         ccd_b2=s(np.asarray(m.geom_bodyid)[ccd_g2].astype(np.int32)),
         ccd_rbsum=s(np.array(ccd_rbsum, dtype=np.float64)),
+        col_refresh=int(col_refresh),
         opt=opt,
         qpos0=a(m.qpos0), qpos_spring=a(m.qpos_spring),
         body_pos=a(m.body_pos), body_quat=a(m.body_quat),
@@ -502,6 +504,11 @@ def make_data(model: Model, B: int = 1, dtype=None) -> Data:
         margin=z(ksum), marginfull=z(ksum),
         b1=jnp.zeros((ksum, B), jnp.int32),
         b2=jnp.zeros((ksum, B), jnp.int32),
+        g1=jnp.zeros((ksum, B), jnp.int32),
+        g2=jnp.zeros((ksum, B), jnp.int32),
+        typ=jnp.full((ksum, B), -1, jnp.int32),
+        sub=jnp.zeros((ksum, B), jnp.int32),
+        solref=z(ksum, 2), solimp=z(ksum, 5),
     )
     return Data(
         qpos=jnp.broadcast_to(
@@ -535,6 +542,7 @@ def make_data(model: Model, B: int = 1, dtype=None) -> Data:
         warm_lim=z(_nlimit(model)),
         ccd_warm_id=jnp.full((model.ccd_budget, B), -1, jnp.int32),
         ccd_warm_u=z(model.ccd_budget, 3),
+        ccd_lane_tab=z(model.ccd_budget, 25),
         sensordata=z(model.nsensordata),
     )
 

@@ -218,6 +218,7 @@ _MODEL_META = (
     # gated exact-convex (ccd) pair tables
     "nccd", "ccd_budget", "ccd_classes", "ccd_iters",
     "ccd_geom1", "ccd_geom2", "ccd_b1", "ccd_b2", "ccd_rbsum",
+    "col_refresh",
 )
 
 
@@ -281,6 +282,15 @@ class Model:
     ccd_geom1: Static; ccd_geom2: Static   # (nccd,) geom ids (t1 <= t2)
     ccd_b1: Static; ccd_b2: Static         # (nccd,) body ids
     ccd_rbsum: Static                      # (nccd,) bounding-radius sum
+    # contact SELECTION refresh period in substeps (production knob).
+    # 1 = MuJoCo-exact (gates + top-K islands every substep). r > 1:
+    # substep 0 of every r-block runs the full gated selection; the next
+    # r-1 substeps recompute geometry/impedance ONLY for the already-
+    # selected lanes (collision.collision_update) — the candidate set a
+    # contact can enter lags by at most r-1 substeps, bounded by the
+    # includemargin slack. Must divide the env's substeps-per-control-step
+    # so auto-reset always lands on a refresh boundary.
+    col_refresh: int
 
     # ---- numeric parameters (traced jnp arrays) ----
     opt: Option
@@ -359,6 +369,15 @@ class Contact:
     marginfull: jax.Array  # (Ksum, B) full margin (adhesion active zone)
     b1: jax.Array         # (Ksum, B) int32 body id of geom1
     b2: jax.Array         # (Ksum, B) int32 body id of geom2
+    # lane identity + impedance inputs, carried so collision_update can
+    # recompute geometry/impedance for the SAME lanes on non-refresh
+    # substeps (Model.col_refresh > 1) without re-running selection
+    g1: jax.Array         # (Ksum, B) int32 geom id 1
+    g2: jax.Array         # (Ksum, B) int32 geom id 2
+    typ: jax.Array        # (Ksum, B) int32 analytic type-group id; -1 = ccd
+    sub: jax.Array        # (Ksum, B) int32 sub-contact index within pair
+    solref: jax.Array     # (Ksum, 2, B)
+    solimp: jax.Array     # (Ksum, 5, B)
 
 
 @pytree(meta=())
@@ -426,6 +445,10 @@ class Data:
     # directions; lanes with |u| ~ 0 reseed from the center line.
     ccd_warm_id: jax.Array    # (ccd_budget, B) int32
     ccd_warm_u: jax.Array     # (ccd_budget, 3, B)
+    # compacted per-lane static ccd params (the 25-column tab_all rows of
+    # the selected lanes), written at selection refresh so non-refresh
+    # substeps skip the (N, nccd, B) one-hot compaction entirely
+    ccd_lane_tab: jax.Array   # (ccd_budget, 25, B)
 
     # sensors
     sensordata: jax.Array     # (nsensordata, B)

@@ -29,7 +29,8 @@ _CON_SEL = {1: 8, 3: 24}
 # rows (67 limited joints, few near violation at once) + top-24 cones
 # across the floor/self-collision groups; the rat's 1515 convex
 # candidate pairs gate to 64 ccd lanes per env.
-_FUSED = dict(contact_solver="fused", fused_sel=(16, 24), ccd_budget=64)
+_FUSED = dict(contact_solver="fused", fused_sel=(16, 24), ccd_budget=64,
+              col_refresh=10)
 
 
 def rodent_escape_bowl(time_limit: float = 20.0, dtype=jnp.float32,
@@ -133,7 +134,8 @@ def walk_humanoid(ref_path: str | None = None,
 
     arena = ra.floor_arena()
     model, mj = rm.make_humanoid_model(arena, dtype=dtype,
-                                       con_sel={1: 8, 3: 24}, **_FUSED)
+                                       con_sel={1: 8, 3: 24},
+                                       **{**_FUSED, "col_refresh": 3})
     walker = HumanoidWalker(model)
     if ref_path is None:
         clips = trk.synthetic_clips(model, walker, num_clips=2, length=120)

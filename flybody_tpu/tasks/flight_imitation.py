@@ -215,7 +215,8 @@ def make_flight_imitation(ref_path: str | None = None,
     # self-collision lanes); tiny budgets cover it.
     model = io_mj.put_model(mj_model, dtype=dtype,
                             con_sel={1: 8}, ccd_budget=32,
-                            contact_solver="fused", fused_sel=(8, 16))
+                            contact_solver="fused", fused_sel=(8, 16),
+                            col_refresh=4)
     walker = FlyWalker(model, amap)
 
     if ref_path is not None:

@@ -274,7 +274,8 @@ def make_vision_flight(bumps_or_trench: str = "trench",
     # lanes as in flight_imitation.
     model = io_mj.put_model(mj_model, dtype=dtype,
                             con_sel={1: 8, 3: 16}, ccd_budget=32,
-                            contact_solver="fused", fused_sel=(8, 24))
+                            contact_solver="fused", fused_sel=(8, 24),
+                            col_refresh=4)
     # cache camera poses for the eye renderer
     cam_pose = {}
     for c in range(mj_model.ncam):

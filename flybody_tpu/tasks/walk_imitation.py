@@ -198,7 +198,8 @@ def make_walk_imitation(ref_path: str | None = None,
     # the self-collision ccd lanes stay below these caps with margin.
     model = io_mj.put_model(mj_model, dtype=dtype,
                             con_sel={1: 8, 3: 24}, ccd_budget=64,
-                            contact_solver="fused", fused_sel=(16, 40))
+                            contact_solver="fused", fused_sel=(16, 40),
+                            col_refresh=10)
     walker = FlyWalker(model, amap)
 
     if ref_path is not None:

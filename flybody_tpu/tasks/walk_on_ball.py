@@ -89,7 +89,7 @@ class WalkOnBall(Task):
 
 
 def make_walk_on_ball(claw_friction: float = 1.0, time_limit: float = 2.0,
-                      joint_filter: float = 0.0074,
+                      joint_filter: float = 0.01,
                       adhesion_filter: float = 0.007,
                       dtype=jnp.float32) -> FlyEnv:
     """Factory (reference fly_envs.walk_on_ball)."""
@@ -116,9 +116,15 @@ def make_walk_on_ball(claw_friction: float = 1.0, time_limit: float = 2.0,
     # tight budgets for the production env: the center-line support gate
     # sees ~30 hot convex pairs on the ball scene (oracle-grade default
     # is 128; missing a grazing pair costs a 1-substep pop, not NaNs)
+    # col_refresh=10: selection (gates + top-K islands) once per control
+    # step, geometry-only refresh in between. Divergence vs per-substep
+    # selection sits AT the env's chaos floor (== a 1e-6 qvel
+    # perturbation's divergence; the resting self-contact cluster is
+    # chaotic, tests/test_fly_model.py::test_selfcontact_cluster_is_chaotic).
     model = io_mj.put_model(mj_model, dtype=dtype,
                             con_sel={1: 8, 3: 16}, ccd_budget=64,
-                            contact_solver="fused", fused_sel=(16, 32))
+                            contact_solver="fused", fused_sel=(16, 32),
+                            col_refresh=10)
     walker = FlyWalker(model, amap)
     task = WalkOnBall(walker, time_limit=time_limit)
     return FlyEnv(model, task, mj_model=mj_model, dtype=dtype)

@@ -211,6 +211,7 @@ def main():
             dt = time.time() - t0
             sps = (actor_steps - steps0) / max(dt, 1e-9)
             t0, steps0 = time.time(), actor_steps
+            critic_loss = float(metrics["critic_loss"])
             logger.write({
                 "iteration": it + 1,
                 "actor_steps": actor_steps,
@@ -218,9 +219,15 @@ def main():
                 "actor_sps": sps,
                 "episode_return": float(metrics["mean_episode_return"]),
                 "reward": float(metrics["mean_reward"]),
-                "critic_loss": float(metrics["critic_loss"]),
+                "critic_loss": critic_loss,
                 "dual_temperature": float(metrics["dual_temperature"]),
+                "obs_absmax": float(metrics.get("obs_absmax", 0.0)),
             })
+            import math
+            if (int(metrics["learner_steps"]) > 0
+                    and not math.isfinite(critic_loss)):
+                print("FATAL: non-finite learner stats; aborting run")
+                break
         if ckptr is not None:
             ckptr.maybe_save(jax.device_get(loop), it)
     logger.close()
