@@ -46,10 +46,20 @@ class FlyWalker:
             dim = int(np.asarray(model.sensor_dim)[sid])
             self.sensor_adr[name] = (adr, dim)
 
-        # observable joints: all scalar joints of the fly (order = model)
+        # observable joints: the reference walker's observable_joints =
+        # all scalar joints minus the disabled body parts' (their joints
+        # stay in the model but are not observed — reference
+        # fruitfly.py:209-247). Model order.
         jt = np.asarray(model.jnt_type)
         scalar = (jt == T.HINGE) | (jt == T.SLIDE)
-        fly_joints = [j for j in range(model.njnt) if scalar[j]]
+        obs_names = action_maps.get("observable_joints")
+        if obs_names is not None:
+            keep = {names["joint"][n] for n in obs_names
+                    if n in names["joint"]}
+            fly_joints = [j for j in range(model.njnt)
+                          if scalar[j] and j in keep]
+        else:
+            fly_joints = [j for j in range(model.njnt) if scalar[j]]
         self.joint_qposadr = np.asarray(model.jnt_qposadr)[fly_joints]
         self.joint_dofadr = np.asarray(model.jnt_dofadr)[fly_joints]
 

@@ -61,14 +61,21 @@ def restore_policy_params(path: str):
 
 
 def latest(path: str) -> str | None:
-    """Most recent ckpt_* directory under path, if any."""
+    """Most recent COMPLETED ckpt_* directory under path, if any.
+    Skips orbax in-progress tmp dirs (ckpt_N.orbax-checkpoint-tmp...)
+    left by an interrupted save."""
     if not os.path.isdir(path):
         return None
-    cands = [d for d in os.listdir(path) if d.startswith("ckpt_")]
+    cands = []
+    for d in os.listdir(path):
+        if not d.startswith("ckpt_"):
+            continue
+        suffix = d.split("_", 1)[1]
+        if suffix.isdigit():
+            cands.append((int(suffix), d))
     if not cands:
         return None
-    cands.sort(key=lambda d: int(d.split("_")[1]))
-    return os.path.join(path, cands[-1])
+    return os.path.join(path, max(cands)[1])
 
 
 class PeriodicCheckpointer:
@@ -79,8 +86,14 @@ class PeriodicCheckpointer:
         self.delta = time_delta_minutes * 60.0
         self._last = time.time()
 
+    def due(self) -> bool:
+        """Check BEFORE materializing the state: callers must not pay a
+        device_get of the full loop state (the replay ring is GBs) on
+        iterations that won't save."""
+        return time.time() - self._last >= self.delta
+
     def maybe_save(self, state, step: int):
-        if time.time() - self._last >= self.delta:
+        if self.due():
             self._last = time.time()
             return save(self.directory, state, step)
         return None

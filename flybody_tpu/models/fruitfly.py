@@ -112,6 +112,10 @@ class Morphology:
     sensors: list
     springref_of_joint: dict
     opt: dict
+    # explicit contact exclude pairs [(body1, body2), ...] (reference XML
+    # <contact><exclude> rules — abdomen chain skips, wing-abdomen,
+    # coxa/femur left-right, rostrum-labrum)
+    excludes: list = None
 
     def body(self, name):
         for b in self.bodies:
@@ -264,7 +268,8 @@ def load_morphology() -> Morphology:
                cone=int(z["opt_cone"]),
                noslip_iterations=int(z["opt_noslip_iterations"]))
     return Morphology(bodies=bodies, actuators=actuators, tendons=tendons,
-                      sensors=sensors, springref_of_joint=springref, opt=opt)
+                      sensors=sensors, springref_of_joint=springref, opt=opt,
+                      excludes=[tuple(e) for e in names.get("excludes", [])])
 
 
 # ---------------------------------------------------------------------------
@@ -451,6 +456,16 @@ def to_spec(morph: Morphology, cfg: FlyConfig,
     spec.option.noslip_iterations = morph.opt["noslip_iterations"]
     spec.compiler.degree = False
 
+    # explicit contact excludes from the reference XML (skipped when a
+    # body was removed by surgery)
+    present = {b.name for b in morph.bodies}
+    for b1, b2 in (morph.excludes or []):
+        if b1 in present and b2 in present:
+            ex = spec.add_exclude()
+            ex.name = f"{b1}_{b2}"
+            ex.bodyname1 = b1
+            ex.bodyname2 = b2
+
     if arena_fn is not None:
         arena_fn(spec)
 
@@ -549,8 +564,24 @@ def action_indices(morph: Morphology, cfg: FlyConfig) -> dict:
     for cls in ACTION_CLASSES:
         action_idx[cls] = list(range(counter, counter + num[cls]))
         counter += num[cls]
+
+    # observable joints: the reference keeps disabled-part joints in the
+    # model (only their actuators go) but REMOVES them from the walker's
+    # observable_joints list (reference fruitfly.py:209-247); mirror that
+    # so joints_pos/joints_vel sizes match the reference exactly.
+    disabled = []
+    for cls, flag in (("wings", cfg.use_wings), ("mouth", cfg.use_mouth),
+                      ("antennae", cfg.use_antennae),
+                      ("legs", cfg.use_legs)):
+        if not flag:
+            disabled.extend(_NAME_SUBSTR[cls])
+    observable_joints = []
+    for b in morph.bodies:
+        for j in b.joints:
+            if not _any(tuple(disabled), j.name):
+                observable_joints.append(j.name)
     return dict(ctrl=ctrl_idx, action=action_idx, num=num,
-                total=counter)
+                total=counter, observable_joints=observable_joints)
 
 
 def build_fly(cfg: FlyConfig | None = None,

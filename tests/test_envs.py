@@ -51,7 +51,10 @@ def test_batched_step(env):
     actions = jnp.zeros((n, env.action_size))
     states = step(states, actions)
     assert states.reward.shape == (n,)
-    assert states.obs["joints_pos"].shape == (n, 102)
+    # 85 = 102 scalar joints minus the disabled wings/mouth/antennae
+    # (kept in the model, excluded from observation — reference
+    # fruitfly.py:209-247)
+    assert states.obs["joints_pos"].shape == (n, 85)
     assert bool(jnp.all(jnp.isfinite(states.obs["ball_qvel"])))
 
 

@@ -149,6 +149,18 @@ def extract(m: mujoco.MjModel) -> tuple[dict, dict]:
               "sensor_datatype", "sensor_dim"]:
         arrays[f] = getattr(m, f)
 
+    # explicit contact exclude pairs (body-name pairs): the reference XML
+    # carries ~26 of them (abdomen chain skips, wing-abdomen, coxa/femur
+    # left-right, rostrum-labrum); dropping them creates contacts MuJoCo
+    # never simulates (found by the reference-env parity tests, round 4)
+    excludes = []
+    for e in range(m.nexclude):
+        sig = int(m.exclude_signature[e])
+        b1, b2 = sig >> 16, sig & 0xFFFF
+        excludes.append([name_of(O.mjOBJ_BODY, b1),
+                         name_of(O.mjOBJ_BODY, b2)])
+    names["excludes"] = excludes
+
     opt = m.opt
     arrays["opt_timestep"] = np.array(opt.timestep)
     arrays["opt_gravity"] = np.array(opt.gravity)

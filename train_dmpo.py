@@ -198,8 +198,20 @@ def main():
              if args.ckpt_dir else None)
     resume = ckpt.latest(args.ckpt_dir) if args.ckpt_dir else None
     if resume:
-        loop = ckpt.restore(resume, loop)
-        print(f"resumed from {resume}")
+        try:
+            restored = ckpt.restore(resume, loop)
+            same = jax.tree.all(jax.tree.map(
+                lambda a, b: jnp.shape(a) == jnp.shape(b), restored, loop))
+            if same:
+                loop = restored
+                print(f"resumed from {resume}")
+            else:
+                print(f"WARNING: checkpoint {resume} has different array "
+                      "shapes (older model/config); starting fresh")
+        except Exception as e:
+            print(f"WARNING: checkpoint {resume} does not match the "
+                  f"current run structure ({type(e).__name__}); starting "
+                  "fresh")
 
     t0 = time.time()
     steps0 = 0
@@ -228,7 +240,10 @@ def main():
                     and not math.isfinite(critic_loss)):
                 print("FATAL: non-finite learner stats; aborting run")
                 break
-        if ckptr is not None:
+        if ckptr is not None and ckptr.due():
+            # device_get only when actually saving: fetching the loop
+            # state (replay ring is GBs) every iteration would dominate
+            # the training wall-clock
             ckptr.maybe_save(jax.device_get(loop), it)
     logger.close()
 
