@@ -227,10 +227,9 @@ def com_pos(m: Model, d: Data) -> Data:
     """mj_comPos: subtree com, spatial inertias, com-frame dof axes."""
     dtype = d.qpos.dtype
     B = d.qpos.shape[-1]
-    from flybody_tpu.physics.sensors import _subtree_pairs
+    from flybody_tpu.physics.sensors import subtree_sum
     mom = m.body_mass[:, None, None] * d.xipos
-    anc, desc = _subtree_pairs(m)
-    acc = jnp.zeros_like(mom).at[anc].add(mom[desc])
+    acc = subtree_sum(m, mom)
     denom = jnp.maximum(m.body_subtreemass, 1e-12)[:, None, None]
     subtree_com = acc / denom
     d = d.replace(subtree_com=subtree_com)

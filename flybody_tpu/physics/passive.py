@@ -39,15 +39,24 @@ def _support_pairs(m: Model):
     return _SUPPORT_CACHE[key]
 
 
+def support_matrix(m: Model, dtype):
+    """Static (nbody, nv) 0/1 support mask as an array (dof supports
+    body). Pair scatter-adds over it lower to serialized TPU scatters;
+    contracting against this matrix rides the MXU instead."""
+    return jnp.asarray(np.asarray(m.body_dof_mask), dtype)
+
+
 def project_body_forces(m: Model, d: Data, cfrc: jnp.ndarray) -> jnp.ndarray:
     """Project per-body spatial forces (at com-root origin, world frame,
     shape (nbody, 6, B)) into joint space: qfrc (nv, B).
 
-    Sparse over the ~500 static (body, dof) support pairs instead of a
-    dense (nbody, nv, B) contraction."""
-    bp, vp = _support_pairs(m)
-    dots = jnp.sum(cfrc[bp] * d.cdof[vp], axis=-2)       # (npairs, B)
-    return jnp.zeros_like(d.qvel).at[vp].add(dots)
+    qfrc[v] = cdof[v] . sum_{bodies b supported by v} cfrc[b] — one
+    (nv, nbody) x (nbody, 6B) matmul plus an elementwise dot."""
+    import jax
+    S = support_matrix(m, cfrc.dtype)
+    acc = jnp.einsum("bv,bcB->vcB", S, cfrc,
+                     precision=jax.lax.Precision.HIGHEST)
+    return jnp.sum(acc * d.cdof, axis=-2)
 
 
 def body_velocity_local(m: Model, d: Data):

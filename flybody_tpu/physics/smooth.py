@@ -101,21 +101,39 @@ def _dof_velpre_pairs(m: Model):
     return pairs
 
 
+_VELPRE_MAT_CACHE: dict = {}
+
+
+def _velpre_matrix(m: Model, dtype):
+    """(nv, nv) 0/1 matrix of the static partial-velocity pair set."""
+    key = T.static_key(m.body_parentid)
+    if key not in _VELPRE_MAT_CACHE:
+        ii, jj = _dof_velpre_pairs(m)
+        P = np.zeros((m.nv, m.nv), np.float32)
+        P[ii, jj] = 1.0
+        _VELPRE_MAT_CACHE[key] = P
+    return jnp.asarray(_VELPRE_MAT_CACHE[key], dtype)
+
+
 def com_vel(m: Model, d: Data) -> Data:
     """mj_comVel: body spatial velocities and cdof time derivatives.
 
     Fully parallel: cvel via static (body, dof) support pairs; cdof_dot
     via the static partial-velocity pair set (no sequential tree sweep)."""
-    from flybody_tpu.physics.passive import _support_pairs
+    from flybody_tpu.physics.passive import support_matrix
     dtype = d.qpos.dtype
     B = d.qpos.shape[-1]
     dof_vel = d.cdof * d.qvel[:, None, :]            # (nv, 6, B)
 
-    bp, vp = _support_pairs(m)
-    cvel = jnp.zeros((m.nbody, 6, B), dtype=dtype).at[bp].add(dof_vel[vp])
+    import jax
+    S = support_matrix(m, dtype)
+    cvel = jnp.einsum("bv,vcB->bcB", S, dof_vel,
+                      precision=jax.lax.Precision.HIGHEST)
 
     ii, jj = _dof_velpre_pairs(m)
-    vpre = jnp.zeros((m.nv, 6, B), dtype=dtype).at[ii].add(dof_vel[jj])
+    P = _velpre_matrix(m, dtype)
+    vpre = jnp.einsum("iv,vcB->icB", P, dof_vel,
+                      precision=jax.lax.Precision.HIGHEST)
     cdof_dot = motion_cross(vpre, d.cdof)
     # translational free-joint dofs have no vpre pairs and zero cross with
     # themselves is not guaranteed — mask dofs with no contributing pairs
@@ -128,9 +146,8 @@ def com_vel(m: Model, d: Data) -> Data:
 def crb(m: Model, d: Data) -> Data:
     """mj_crb + mj_factorM: compressed tree-sparse inertia + LDL^T."""
     from flybody_tpu.physics.kinematics import mul_inertia
-    from flybody_tpu.physics.sensors import _subtree_pairs
-    anc, desc = _subtree_pairs(m)
-    crb_inert = jnp.zeros_like(d.cinert).at[anc].add(d.cinert[desc])
+    from flybody_tpu.physics.sensors import subtree_sum
+    crb_inert = subtree_sum(m, d.cinert)
 
     body_of_dof = np.asarray(m.dof_bodyid)
     crb_dof = crb_inert[body_of_dof]            # (nv, 10, B)
@@ -162,14 +179,16 @@ def body_cacc(m: Model, d: Data, dof_contrib: jnp.ndarray) -> jnp.ndarray:
     contributions over each body's supporting dofs — one static
     scatter-add over the ~500 (body, dof) support pairs instead of a
     sequential tree sweep."""
-    from flybody_tpu.physics.passive import _support_pairs
+    from flybody_tpu.physics.passive import support_matrix
+    import jax
     dtype = d.qpos.dtype
     B = d.qpos.shape[-1]
     grav = jnp.concatenate(
         [jnp.zeros(3, dtype=dtype), -m.opt.gravity.astype(dtype)])
-    bp, vp = _support_pairs(m)
-    cacc = jnp.broadcast_to(grav[:, None], (m.nbody, 6, B)).astype(dtype)
-    return cacc.at[bp].add(dof_contrib[vp])
+    S = support_matrix(m, dtype)
+    acc = jnp.einsum("bv,vcB->bcB", S, dof_contrib,
+                     precision=jax.lax.Precision.HIGHEST)
+    return grav[None, :, None] + acc
 
 
 def rne(m: Model, d: Data) -> Data:
@@ -178,7 +197,7 @@ def rne(m: Model, d: Data) -> Data:
     Both tree sweeps are flattened into static support-pair gathers:
     cacc via ``body_cacc``; the backward force accumulation disappears into
     qfrc_bias[v] = sum over supported bodies of cdof[v] . cfrc_leaf[b]."""
-    from flybody_tpu.physics.passive import _support_pairs
+    from flybody_tpu.physics.passive import project_body_forces
     dof_contrib = d.cdof_dot * d.qvel[:, None, :]   # (nv, 6, B)
     cacc = body_cacc(m, d, dof_contrib)
 
@@ -186,9 +205,7 @@ def rne(m: Model, d: Data) -> Data:
     Iv = mul_inertia(d.cinert, d.cvel)
     cfrc = mul_inertia(d.cinert, cacc) + force_cross(d.cvel, Iv)
 
-    bp, vp = _support_pairs(m)
-    dots = jnp.sum(d.cdof[vp] * cfrc[bp], axis=-2)  # (npairs, B)
-    qfrc_bias = jnp.zeros_like(d.qvel).at[vp].add(dots)
+    qfrc_bias = project_body_forces(m, d, cfrc)
     return d.replace(qfrc_bias=qfrc_bias)
 
 
