@@ -42,10 +42,40 @@ def make_env(name):
     raise SystemExit(f"unknown ENV={name}")
 
 
+def make_policy(env, ckpt_dir):
+    """Mean-policy action fn from a training checkpoint (so budgets are
+    measured under the TRAINED gait, not random flailing — VERDICT r3
+    weak #4)."""
+    from flybody_tpu.agents.actors import canonical_to_real
+    from flybody_tpu.agents.networks import batch_concat, make_policy_critic
+    from flybody_tpu.io import checkpoint as ckpt
+
+    path = ckpt.latest(ckpt_dir) or ckpt_dir
+    params = ckpt.restore_policy_params(path)
+    lo, hi = env.action_spec()
+    obs_size = sum(int(np.prod(v.shape[1:]) or 1)
+                   for v in jax.eval_shape(
+                       env.reset,
+                       jax.random.split(jax.random.PRNGKey(0), 1)
+                   ).obs.values())
+    policy, _, _ = make_policy_critic(env.action_size, obs_size)
+
+    @jax.jit
+    def act(obs, key):
+        flat = jax.vmap(lambda o: batch_concat(o))(obs)
+        dist = policy.apply(params, flat)
+        return canonical_to_real(dist.mode(), jnp.asarray(lo),
+                                 jnp.asarray(hi))
+    return act
+
+
 def main():
     B = int(os.environ.get("B", 256))
     T = int(os.environ.get("T", 200))
     env = make_env(os.environ.get("ENV", "walk_on_ball"))
+    policy = None
+    if os.environ.get("POLICY_CKPT"):
+        policy = make_policy(env, os.environ["POLICY_CKPT"])
     m = env.model
     rng = jax.random.PRNGKey(0)
     states = jax.jit(env.reset)(jax.random.split(rng, B))
@@ -96,8 +126,12 @@ def main():
     t0 = time.time()
     for t in range(T):
         rng, k = jax.random.split(rng)
-        a = jax.random.uniform(k, (B, env.action_size),
-                               minval=jnp.asarray(lo), maxval=jnp.asarray(hi))
+        if policy is not None:
+            a = policy(states.obs, k)
+        else:
+            a = jax.random.uniform(k, (B, env.action_size),
+                                   minval=jnp.asarray(lo),
+                                   maxval=jnp.asarray(hi))
         states = step(states, a)
         if t % 5 == 0 or t == T - 1:
             counts = jax.device_get(gate_counts(states.data))

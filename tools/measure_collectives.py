@@ -38,16 +38,22 @@ SHAPE_RE = re.compile(r"(\w+)\[([\d,]*)\]")
 
 
 def _op_bytes(line: str) -> int:
-    """Total output bytes of the op defined on this HLO line."""
-    m = SHAPE_RE.search(line.split("=")[0])
-    if not m:
-        return 0
-    dt, dims = m.group(1), m.group(2)
-    n = 1
-    for d in dims.split(","):
-        if d:
-            n *= int(d)
-    return n * DTYPE_BYTES.get(dt, 4)
+    """Total output bytes of the op defined on this HLO line (sums the
+    result shapes between '=' and the op's open paren, handling tuple
+    outputs)."""
+    rhs = line.split("=", 1)[-1]
+    lhs = rhs.split("(", 1)[0]        # "<shapes> <op-name>"
+    total = 0
+    for m in SHAPE_RE.finditer(lhs):
+        dt, dims = m.group(1), m.group(2)
+        if dt not in DTYPE_BYTES:
+            continue
+        n = 1
+        for d in dims.split(","):
+            if d:
+                n *= int(d)
+        total += n * DTYPE_BYTES[dt]
+    return total
 
 
 def main():

@@ -15,10 +15,19 @@ from __future__ import annotations
 
 import argparse
 import dataclasses
+import os
 import time
 
 import jax
 import jax.numpy as jnp
+
+# persistent compilation cache: the fused train_iteration is a large XLA
+# program (~25 min cold through the tunnel); resumed/repeated runs with
+# the same shapes start in seconds
+jax.config.update("jax_compilation_cache_dir",
+                  os.environ.get("JAX_CACHE_DIR", "/tmp/jax_bench_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 
 from flybody_tpu.agents.dmpo import DMPOConfig
 from flybody_tpu.agents.train import DMPOTrainer, TrainerConfig
