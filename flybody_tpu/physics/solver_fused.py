@@ -122,8 +122,19 @@ def solve_fused(m: Model, d: Data, iterations: int | None = None) -> Data:
     con = d.contact
     D6 = _dof_basis(m, d)
 
-    jt_parts, k_rows, b_rows, pos_rows, r_rows, act_rows = \
-        [], [], [], [], [], []
+    # compact per-row form consumed by the fused build+upsolve kernel:
+    # J[r, v] = u6_r . D6_v on the (b1, b2) dof-support difference, plus
+    # the limit rows' sign * e_dadr direct form. jt itself is never
+    # materialized (ops/solver_kernels.upsolve_build_yd).
+    u6_rows, b1_rows, b2_rows, ls_rows, la_rows = [], [], [], [], []
+    k_rows, b_rows, pos_rows, r_rows, act_rows = [], [], [], [], []
+
+    def _zero_rows(n):
+        u6_rows.append(jnp.zeros((n, 6, B), dtype))
+        b1_rows.append(jnp.zeros((n, B), jnp.int32))
+        b2_rows.append(jnp.zeros((n, B), jnp.int32))
+        ls_rows.append(jnp.zeros((n, B), dtype))
+        la_rows.append(jnp.full((n, B), -1, jnp.int32))
 
     # ---- limit rows (top-n_lim by margin-adjusted distance) ----------
     lim = C._limit_rows(m, d, meta)
@@ -145,9 +156,11 @@ def solve_fused(m: Model, d: Data, iterations: int | None = None) -> Data:
                             jnp.broadcast_to(
                                 dadr.astype(dtype)[:, None], (nl, B)))
         dadr_s = jnp.round(dadr_s).astype(jnp.int32)       # (n_lim, B)
-        jt_lim = (jnp.arange(nv, dtype=jnp.int32)[:, None, None]
-                  == dadr_s[None]).astype(dtype) * sign_s[None]
-        jt_parts.append(jt_lim)                            # (nv, n_lim, B)
+        u6_rows.append(jnp.zeros((n_lim, 6, B), dtype))
+        b1_rows.append(jnp.zeros((n_lim, B), jnp.int32))
+        b2_rows.append(jnp.zeros((n_lim, B), jnp.int32))
+        ls_rows.append(sign_s)
+        la_rows.append(dadr_s)
         k_rows.append(g(lim.k))
         b_rows.append(g(lim.b))
         pos_rows.append(g(lim.pos))
@@ -171,9 +184,11 @@ def solve_fused(m: Model, d: Data, iterations: int | None = None) -> Data:
         b1_1 = con_slice(rng, con.b1)
         b2_1 = con_slice(rng, con.b2)
         u61 = u6_of(fr1, pos1)                             # (k1, 6, B)
-        md1 = _mdiff(m, b1_1, b2_1, dtype)                 # (nv, k1, B)
-        jt1 = jnp.einsum("vcB,kcB->vkB", D6, u61) * md1
-        jt_parts.append(jt1)
+        u6_rows.append(u61)
+        b1_rows.append(b1_1)
+        b2_rows.append(b2_1)
+        ls_rows.append(jnp.zeros((k1, B), dtype))
+        la_rows.append(jnp.full((k1, B), -1, jnp.int32))
         pos_c1 = con_slice(rng, con.dist) - con_slice(rng, con.margin)
         k_rows.append(con_slice(rng, con.k))
         b_rows.append(con_slice(rng, con.b))
@@ -185,7 +200,7 @@ def solve_fused(m: Model, d: Data, iterations: int | None = None) -> Data:
     # pad the nonneg segment to kl rows
     pad_nn = kl - n_lim - k1
     if pad_nn:
-        jt_parts.append(jnp.zeros((nv, pad_nn, B), dtype))
+        _zero_rows(pad_nn)
         zz = jnp.zeros((pad_nn, B), dtype)
         for lst, v in ((k_rows, zz), (b_rows, zz), (pos_rows, zz),
                        (r_rows, jnp.ones((pad_nn, B), dtype)),
@@ -244,10 +259,13 @@ def solve_fused(m: Model, d: Data, iterations: int | None = None) -> Data:
         act_c = (pos_cc < 0.0).astype(dtype)
 
         u6c = u6_of(frame, posc[:, None])                  # (kc, 3, 6, B)
-        mdc = _mdiff(m, b1_c, b2_c, dtype)                 # (nv, kc, B)
-        jtc = (jnp.einsum("vcB,kdcB->vdkB", D6, u6c)
-               * mdc[:, None]).reshape(nv, 3 * kc, B)
-        jt_parts.append(jtc)
+        # segment-major cone rows: [normals | tangent1 | tangent2]
+        for j in range(3):
+            u6_rows.append(u6c[:, j])
+            b1_rows.append(b1_c)
+            b2_rows.append(b2_c)
+            ls_rows.append(jnp.zeros((kc, B), dtype))
+            la_rows.append(jnp.full((kc, B), -1, jnp.int32))
 
         zero = jnp.zeros_like(k_c)
         r_t = r_c / jnp.maximum(m.opt.impratio, 1e-12)
@@ -258,7 +276,11 @@ def solve_fused(m: Model, d: Data, iterations: int | None = None) -> Data:
         act_rows += [act_c, act_c, act_c]
         mu_sel = mu_c
 
-    jt = jnp.concatenate(jt_parts, axis=1)                 # (nv, R, B)
+    u6_all = jnp.concatenate(u6_rows, axis=0)              # (R, 6, B)
+    b1_all = jnp.concatenate(b1_rows, axis=0)
+    b2_all = jnp.concatenate(b2_rows, axis=0)
+    ls_all = jnp.concatenate(ls_rows, axis=0)
+    la_all = jnp.concatenate(la_rows, axis=0)
     kcoef = jnp.concatenate(k_rows, axis=0)
     bcoef = jnp.concatenate(b_rows, axis=0)
     posr = jnp.concatenate(pos_rows, axis=0)
@@ -288,9 +310,10 @@ def solve_fused(m: Model, d: Data, iterations: int | None = None) -> Data:
 
     # ---- kernels -------------------------------------------------------
     use_ref = jax.default_backend() != "tpu"
-    up_fn = SK.upsolve_yd_reference if use_ref else SK.upsolve_yd
-    yd, bvec = up_fn(m.tree, jt, d.qLD, d.qLDiagInv, d.qacc_smooth,
-                     d.qvel, kcoef, bcoef, posr)
+    maskd = np.asarray(m.body_dof_mask).astype(np.float32)
+    yd, bvec = SK.upsolve_build_yd(
+        m.tree, D6, u6_all, b1_all, b2_all, ls_all, la_all, maskd,
+        d.qLD, d.qLDiagInv, d.qacc_smooth, d.qvel, kcoef, bcoef, posr)
 
     kw = dict(kl=kl, kc=kc, iterations=int(niter),
               noslip_iterations=int(m.opt.noslip_iterations))

@@ -205,14 +205,23 @@ def main():
 
     ckptr = (ckpt.PeriodicCheckpointer(args.ckpt_dir, args.ckpt_minutes)
              if args.ckpt_dir else None)
+    # checkpoints carry the LEARNER state only (params/optimizers/duals +
+    # step counters) — the reference does not checkpoint Reverb either,
+    # and device_get of the replay ring (GBs) through the tunnel costs
+    # ~10 min per save. Resume refills replay through the min_replay gate.
+    ckpt_view = lambda lp: {"train": lp.train,
+                            "actor_steps": lp.actor_steps}
     resume = ckpt.latest(args.ckpt_dir) if args.ckpt_dir else None
     if resume:
         try:
-            restored = ckpt.restore(resume, loop)
+            tpl = jax.device_get(ckpt_view(loop))
+            restored = ckpt.restore(resume, tpl)
             same = jax.tree.all(jax.tree.map(
-                lambda a, b: jnp.shape(a) == jnp.shape(b), restored, loop))
+                lambda a, b: jnp.shape(a) == jnp.shape(b), restored, tpl))
             if same:
-                loop = restored
+                loop = loop.replace(train=jax.tree.map(
+                    jnp.asarray, restored["train"]),
+                    actor_steps=jnp.asarray(restored["actor_steps"]))
                 print(f"resumed from {resume}")
             else:
                 print(f"WARNING: checkpoint {resume} has different array "
@@ -250,10 +259,9 @@ def main():
                 print("FATAL: non-finite learner stats; aborting run")
                 break
         if ckptr is not None and ckptr.due():
-            # device_get only when actually saving: fetching the loop
-            # state (replay ring is GBs) every iteration would dominate
-            # the training wall-clock
-            ckptr.maybe_save(jax.device_get(loop), it)
+            # device_get only when actually saving, and only the learner
+            # state (the replay ring is GBs)
+            ckptr.maybe_save(jax.device_get(ckpt_view(loop)), it)
     logger.close()
 
 
