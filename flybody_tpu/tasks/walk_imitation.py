@@ -197,8 +197,8 @@ def make_walk_imitation(ref_path: str | None = None,
     # free fly over flat floor: analytic condim-3 (floor) contacts and
     # the self-collision ccd lanes stay below these caps with margin.
     model = io_mj.put_model(mj_model, dtype=dtype,
-                            con_sel={1: 8, 3: 24}, ccd_budget=64,
-                            contact_solver="fused", fused_sel=(16, 40),
+                            con_sel={1: 8, 3: 24}, ccd_budget=96,
+                            contact_solver="fused", fused_sel=(24, 48),
                             col_refresh=10)
     walker = FlyWalker(model, amap)
 

@@ -121,9 +121,13 @@ def make_walk_on_ball(claw_friction: float = 1.0, time_limit: float = 2.0,
     # selection sits AT the env's chaos floor (== a 1e-6 qvel
     # perturbation's divergence; the resting self-contact cluster is
     # chaotic, tests/test_fly_model.py::test_selfcontact_cluster_is_chaotic).
+    # budgets sized under the TRAINED gait (mean policy at 42M steps,
+    # tools/measure_active_contacts.py POLICY_CKPT mode): penetrating
+    # condim-3 max 17, ccd gate-hot per class max 22, cone rows 42,
+    # limit rows 23 — all with margin below these caps.
     model = io_mj.put_model(mj_model, dtype=dtype,
-                            con_sel={1: 8, 3: 16}, ccd_budget=64,
-                            contact_solver="fused", fused_sel=(16, 32),
+                            con_sel={1: 8, 3: 20}, ccd_budget=96,
+                            contact_solver="fused", fused_sel=(24, 40),
                             col_refresh=10)
     walker = FlyWalker(model, amap)
     task = WalkOnBall(walker, time_limit=time_limit)
