@@ -205,7 +205,8 @@ def put_model(m, dtype=jnp.float32, con_sel: dict | None = None,
               ccd_budget: int = 128, ccd_iters: int = 8,
               contact_solver: str = "apgd",
               fused_sel: tuple = (24, 24),
-              col_refresh: int = 1) -> Model:
+              col_refresh: int = 1,
+              ccd_class_budgets: dict | None = None) -> Model:
     """Convert a compiled mjModel into the engine's Model pytree.
 
     con_sel: optional {condim: K} overrides for the per-condim active
@@ -331,7 +332,13 @@ def put_model(m, dtype=jnp.float32, con_sel: dict | None = None,
             start, n = int(idx[0]), int(len(idx))
             assert np.all(idx == np.arange(start, start + n))
             share = shares[int(key[0]) + int(key[1])]
-            budget = min(n, max(8, int(round(ccd_budget * share))))
+            if ccd_class_budgets and key in ccd_class_budgets:
+                # explicit per-class budget (sized per env family with
+                # tools/measure_active_contacts.py — the class gate-hot
+                # counts are far from the uniform share split)
+                budget = min(n, int(ccd_class_budgets[key]))
+            else:
+                budget = min(n, max(8, int(round(ccd_budget * share))))
             ccd_classes.append((key[0], key[1], start, n, budget))
             ccd_budget_eff += budget
 

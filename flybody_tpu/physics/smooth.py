@@ -105,8 +105,13 @@ _VELPRE_MAT_CACHE: dict = {}
 
 
 def _velpre_matrix(m: Model, dtype):
-    """(nv, nv) 0/1 matrix of the static partial-velocity pair set."""
-    key = T.static_key(m.body_parentid)
+    """(nv, nv) 0/1 matrix of the static partial-velocity pair set.
+
+    Keyed on the same statics as _dof_velpre_pairs: two models can share
+    a body tree but differ in dofs (tethered vs free fly), so keying on
+    body_parentid alone poisons the cache across envs."""
+    key = T.static_key(m.dof_bodyid, m.jnt_type, m.jnt_dofadr,
+                       m.body_parentid, m.body_jntadr, m.body_jntnum)
     if key not in _VELPRE_MAT_CACHE:
         ii, jj = _dof_velpre_pairs(m)
         P = np.zeros((m.nv, m.nv), np.float32)

@@ -125,8 +125,15 @@ def make_walk_on_ball(claw_friction: float = 1.0, time_limit: float = 2.0,
     # tools/measure_active_contacts.py POLICY_CKPT mode): penetrating
     # condim-3 max 17, ccd gate-hot per class max 22, cone rows 42,
     # limit rows 23 — all with margin below these caps.
+    # per-class ccd lanes from the same measurement (gate-hot maxes
+    # 11 / 8 / 22 / 4 by class): 64 total lanes with MORE headroom on
+    # the hot one-axis class than a uniform 96/4 split
     model = io_mj.put_model(mj_model, dtype=dtype,
-                            con_sel={1: 8, 3: 20}, ccd_budget=96,
+                            con_sel={1: 8, 3: 20},
+                            ccd_class_budgets={(False, False): 16,
+                                               (False, True): 12,
+                                               (True, False): 28,
+                                               (True, True): 8},
                             contact_solver="fused", fused_sel=(24, 40),
                             col_refresh=10)
     walker = FlyWalker(model, amap)
