@@ -100,10 +100,23 @@ def make_rollout_fn(env, policy_apply, cfg: RolloutConfig,
             stepped = env.step(states, actions)
             obs_after = jax.vmap(concat)(stepped.obs)
             next_states = env.apply_autoreset(stepped)
+            # per-key obs maxima split live vs terminal: identifies WHICH
+            # observable saturates the env clamp and shows clamp hits are
+            # terminal-state readings (TRAINING.md obs_absmax analysis)
+            done_b = stepped.done
+            key_max = {}
+            for k, v in stepped.obs.items():
+                a = jnp.abs(v).reshape(v.shape[0], -1)
+                mx = jnp.max(a, axis=1) if a.shape[1] else jnp.zeros(
+                    a.shape[0], a.dtype)
+                key_max[k] = (
+                    jnp.max(jnp.where(done_b, 0.0, mx)),
+                    jnp.max(jnp.where(done_b, mx, 0.0)))
             out = dict(obs=obs_flat, action=canonical,
                        reward=stepped.reward, discount=stepped.discount,
                        done=stepped.done, obs_after=obs_after,
-                       episode_return=stepped.metrics["episode_return"])
+                       episode_return=stepped.metrics["episode_return"],
+                       obs_key_max=key_max)
             return (next_states, rng_, delay_buf), out
 
         n_env = jax.tree.leaves(env_states.obs)[0].shape[0]
@@ -112,6 +125,9 @@ def make_rollout_fn(env, policy_apply, cfg: RolloutConfig,
         (env_states, rng, _), traj = jax.lax.scan(
             one, (env_states, rng, delay_buf0), None,
             length=cfg.unroll_length)
+        # diagnostics-only leaf: keep it out of the n-step tail pytree
+        # (the carried tail template has transition keys only)
+        obs_key_max = traj.pop("obs_key_max")
         if cfg.n_step > 1 and tail is not None:
             full = jax.tree.map(
                 lambda a, b: jnp.concatenate([a, b], axis=0), tail, traj)
@@ -127,6 +143,9 @@ def make_rollout_fn(env, policy_apply, cfg: RolloutConfig,
                 jnp.sum(jnp.where(traj["done"], traj["episode_return"], 0.0))
                 / jnp.maximum(jnp.sum(traj["done"]), 1.0)),
         }
+        for k, (live, term) in obs_key_max.items():
+            metrics[f"obs_max/{k}"] = jnp.max(live)
+            metrics[f"obs_max_terminal/{k}"] = jnp.max(term)
         return env_states, new_tail, transitions, metrics
 
     return rollout

@@ -44,12 +44,21 @@ class RodentWalker:
         self.lhand_body = names["body"].get(p + "hand_L", 0)
         self.rhand_body = names["body"].get(p + "hand_R", 0)
 
-        # end effectors: 4 limb tips + head (dm_control Rat end_effectors
-        # + appendages head; reference tracking appendages set)
-        ee_names = ["palm_L", "palm_R", "sole_L", "sole_R", "head"]
+        # end effectors: dm_control Rat.end_effectors = the BODIES
+        # (lower_arm_R, lower_arm_L, foot_R, foot_L) in that order;
+        # appendages = end_effectors + head (value-verified against the
+        # reference env in tests/test_reference_env_parity.py)
+        ee_body_names = ["lower_arm_R", "lower_arm_L", "foot_R", "foot_L"]
+        self.end_effector_bodies = np.asarray(
+            [names["body"][p + n] for n in ee_body_names
+             if p + n in names["body"]], dtype=np.int32)
+        # fallback for models without those bodies: limb-tip sites
         self.end_effector_sites = np.asarray(
-            [names["site"][p + n] for n in ee_names if p + n in
-             names["site"]], dtype=np.int32)
+            [names["site"][p + n]
+             for n in ["palm_L", "palm_R", "sole_L", "sole_R"]
+             if p + n in names["site"]], dtype=np.int32)
+        self.n_limb_tips = (len(self.end_effector_bodies)
+                            or len(self.end_effector_sites))
 
         # sensor addresses by (unprefixed) name
         self.sensor_adr = {}
@@ -70,13 +79,26 @@ class RodentWalker:
                     self.sensor_adr[canon] = self.sensor_adr[c]
                     break
 
-        # observable joints: all scalar joints (order = model order);
-        # excludes the root free joint.
+        # mocap joints: all scalar joints (order = model order); excludes
+        # the root free joint. Used by the tracking features
+        # (dm_control walker.mocap_joints analog).
         jt = np.asarray(model.jnt_type)
         scalar = (jt == T.HINGE) | (jt == T.SLIDE)
         joints = [j for j in range(model.njnt) if scalar[j]]
         self.joint_qposadr = np.asarray(model.jnt_qposadr)[joints]
         self.joint_dofadr = np.asarray(model.jnt_dofadr)[joints]
+        # OBSERVABLE joints: dm_control walkers observe the ACTUATED
+        # joints in actuator order (legacy_base.Walker.observable_joints;
+        # the rat observes 30 of its 67 scalar joints — value-verified
+        # vs the reference env)
+        trn = np.asarray(model.actuator_trntype)
+        trnid = np.asarray(model.actuator_trnid)[:, 0]
+        ojs = [int(trnid[a]) for a in range(model.nu)
+               if trn[a] == T.TRN_JOINT]
+        if not ojs:
+            ojs = joints
+        self.obs_joint_qposadr = np.asarray(model.jnt_qposadr)[ojs]
+        self.obs_joint_dofadr = np.asarray(model.jnt_dofadr)[ojs]
         # free-joint qpos address (root pose) if present
         free = [j for j in range(model.njnt) if jt[j] == T.FREE]
         self.root_qposadr = (int(np.asarray(model.jnt_qposadr)[free[0]])
@@ -126,15 +148,27 @@ class RodentWalker:
         return sensor_mean[adr:adr + dim]
 
     def observables(self, model: Model, data: Data, sensor_mean) -> dict:
+        app = self.appendages_pos(data)
         obs = {
-            "joints_pos": data.qpos[self.joint_qposadr],
-            "joints_vel": data.qvel[self.joint_dofadr],
+            "joints_pos": data.qpos[self.obs_joint_qposadr],
+            "joints_vel": data.qvel[self.obs_joint_dofadr],
             "actuator_activation": data.act,
-            "gyro": self.sensor_obs(sensor_mean, "gyro"),
-            "accelerometer": self.sensor_obs(sensor_mean, "accelerometer"),
-            "velocimeter": self.sensor_obs(sensor_mean, "velocimeter"),
+            # dm_control kinematic-sensor observable names (reference
+            # rodent_tasks obs set; verified value-level in
+            # tests/test_reference_env_parity.py::TestRodentBowlParity)
+            "sensors_gyro": self.sensor_obs(sensor_mean, "gyro"),
+            "sensors_accelerometer":
+                self.sensor_obs(sensor_mean, "accelerometer"),
+            "sensors_velocimeter":
+                self.sensor_obs(sensor_mean, "velocimeter"),
             "world_zaxis": data.xmat[self.root_body_id][2, :],
-            "appendages_pos": self.appendages_pos(data),
+            "appendages_pos": app,
+            "end_effectors_pos": app[:3 * self.n_limb_tips],
+            "body_height": data.xpos[self.root_body_id][2],
+            # the rat model defines no force/torque sensors: dm_control
+            # exposes these as empty observables (shape (0,))
+            "sensors_force": jnp.zeros((0,), data.qpos.dtype),
+            "sensors_torque": jnp.zeros((0,), data.qpos.dtype),
         }
         if model.ntendon:
             obs["tendons_pos"] = data.ten_length
@@ -148,8 +182,16 @@ class RodentWalker:
         return obs
 
     def appendages_pos(self, data: Data):
-        """Egocentric end-effector + head positions, flattened."""
-        tips = data.site_xpos[self.end_effector_sites]
+        """Egocentric end-effector + head positions, flattened
+        (dm_control order: lower_arm_R, lower_arm_L, foot_R, foot_L,
+        head; verified value-level vs the reference env)."""
+        if len(self.end_effector_bodies):
+            tips = data.xpos[self.end_effector_bodies]
+        else:
+            tips = data.site_xpos[self.end_effector_sites]
+        if self.head_site is not None:
+            head = data.site_xpos[self.head_site][None]
+            tips = jnp.concatenate([tips, head], axis=0)
         root_pos = data.xpos[self.root_body_id]
         root_quat = data.xquat[self.root_body_id]
         ego = mq.rotate_vec_with_quat(tips - root_pos,

@@ -292,10 +292,12 @@ def upsolve_build_yd(tree, d6, u6, b1, b2, lim_sign, lim_dadr, maskd,
 # --------------------------------------------------------------------------
 
 
-def _apgd_math(yd, b, rreg, act, mu, f0, *, kl, kc, iterations,
+def _apgd_math(yd, b, rreg, act, mu, f0, v0, *, kl, kc, iterations,
                noslip_iterations, power_iters):
     """Shared kernel/reference math. yd (nv, R, L), vectors (R, L) or
-    (kc, L); returns (f (R, L), ystar (nv, L))."""
+    (kc, L); v0 = warm power-iteration start (previous substep's
+    eigenvector; physics/types.py Data.apgd_v). Returns
+    (f (R, L), ystar (nv, L), v (R, L))."""
     dtype = yd.dtype
     n0, n1, n2 = kl, kl + kc, kl + 2 * kc
 
@@ -337,14 +339,22 @@ def _apgd_math(yd, b, rreg, act, mu, f0, *, kl, kc, iterations,
         return jnp.concatenate([head, fn_new, t1 * sc, t2 * sc],
                                axis=0) * act
 
-    # ---- Lipschitz of As over active rows (power iteration) ----
-    v = act
+    # ---- Lipschitz of As over active rows (power iteration, warm-
+    # started from the previous substep's eigenvector) ----
+    # blend with the active indicator: guarantees overlap with every
+    # active row's eigencomponent (a NEW contact's stiff mode is near-
+    # orthogonal to the carried vector; starting from v0 alone would
+    # underestimate L and destabilize APGD)
+    nrm0 = jnp.sqrt(jnp.sum(v0 * v0, axis=0, keepdims=True)) + 1e-30
+    v = (v0 / nrm0 + act / jnp.sqrt(
+        jnp.maximum(jnp.sum(act, axis=0, keepdims=True), 1.0))) * act
     L = jnp.ones_like(b[:1])
     for _ in range(power_iters):
         nrm = jnp.sqrt(jnp.sum(v * v, axis=0, keepdims=True)) + 1e-30
         v = mv_as(v / nrm) * act
         L = jnp.sqrt(jnp.sum(v * v, axis=0, keepdims=True)) + 1e-30
     inv_l = 1.0 / jnp.maximum(1.5 * L, 1.0)
+    v_out = v / jnp.sqrt(jnp.sum(v * v, axis=0, keepdims=True) + 1e-30)
 
     z0 = proj(f0 / jnp.maximum(s, 1e-30))
 
@@ -376,29 +386,35 @@ def _apgd_math(yd, b, rreg, act, mu, f0, *, kl, kc, iterations,
         z = jax.lax.fori_loop(0, 2 * noslip_iterations, ns_body, z)
 
     f = (s * z).astype(dtype)
-    return f, mv_y(f)
+    return f, mv_y(f), v_out.astype(dtype)
 
 
-def _apgd_kernel(yd_ref, b_ref, rreg_ref, act_ref, mu_ref, f0_ref,
-                 f_out, ystar_out, **kw):
-    f, ystar = _apgd_math(yd_ref[...], b_ref[...], rreg_ref[...],
-                          act_ref[...], mu_ref[...], f0_ref[...], **kw)
+def _apgd_kernel(yd_ref, b_ref, rreg_ref, act_ref, mu_ref, f0_ref, v0_ref,
+                 f_out, ystar_out, v_out, **kw):
+    f, ystar, v = _apgd_math(yd_ref[...], b_ref[...], rreg_ref[...],
+                             act_ref[...], mu_ref[...], f0_ref[...],
+                             v0_ref[...], **kw)
     f_out[...] = f
     ystar_out[...] = ystar
+    v_out[...] = v
 
 
-def apgd_iterate(yd, b, rreg, active, mu, f0, *, kl: int, kc: int,
+def apgd_iterate(yd, b, rreg, active, mu, f0, v0=None, *, kl: int, kc: int,
                  iterations: int, noslip_iterations: int = 0,
                  power_iters: int = 4, interpret: bool | None = None):
     """Fused APGD on A = Yd^T Yd + diag(rreg).
 
-    yd (nv, R, B); b/rreg/active/f0 (R, B); mu (kc, B). Row layout
+    yd (nv, R, B); b/rreg/active/f0/v0 (R, B); mu (kc, B). Row layout
     [kl nonneg | kc normals | kc tangent1 | kc tangent2], R = kl + 3 kc.
-    Returns (f (R, B), ystar = Yd f (nv, B))."""
+    v0 warm-starts the Lipschitz power iteration (pass None for a cold
+    active-indicator start). Returns (f (R, B), ystar = Yd f (nv, B),
+    v (R, B) — the converged power vector for the next substep)."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     nv, R, B = yd.shape
     assert R == kl + 3 * kc
+    if v0 is None:
+        v0 = active
     Bp = max(_round_up(B, LANE), LANE)
     if Bp != B:
         pad = ((0, 0), (0, Bp - B))
@@ -408,52 +424,52 @@ def apgd_iterate(yd, b, rreg, active, mu, f0, *, kl: int, kc: int,
         active = jnp.pad(active, pad)
         mu = jnp.pad(mu, ((0, 0), (0, Bp - B)))
         f0 = jnp.pad(f0, pad)
+        v0 = jnp.pad(v0, pad)
 
     kernel = functools.partial(
         _apgd_kernel, kl=kl, kc=kc, iterations=iterations,
         noslip_iterations=noslip_iterations, power_iters=power_iters)
-    f, ystar = pl.pallas_call(
+    rvec = lambda: pl.BlockSpec((R, LANE), lambda i: (0, i),
+                                memory_space=pltpu.VMEM)
+    f, ystar, v = pl.pallas_call(
         kernel,
         grid=(Bp // LANE,),
         in_specs=[
             pl.BlockSpec((nv, R, LANE), lambda i: (0, 0, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((R, LANE), lambda i: (0, i),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((R, LANE), lambda i: (0, i),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((R, LANE), lambda i: (0, i),
-                         memory_space=pltpu.VMEM),
+            rvec(), rvec(), rvec(),
             pl.BlockSpec((max(kc, 1), LANE), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((R, LANE), lambda i: (0, i),
-                         memory_space=pltpu.VMEM),
+            rvec(), rvec(),
         ],
         out_specs=(
-            pl.BlockSpec((R, LANE), lambda i: (0, i),
-                         memory_space=pltpu.VMEM),
+            rvec(),
             pl.BlockSpec((nv, LANE), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
+            rvec(),
         ),
         out_shape=(
             jax.ShapeDtypeStruct((R, Bp), yd.dtype),
             jax.ShapeDtypeStruct((nv, Bp), yd.dtype),
+            jax.ShapeDtypeStruct((R, Bp), yd.dtype),
         ),
         # the (nv, R, LANE) resident Yd block plus the matvec temporaries
         # exceed the 16M default scoped-vmem budget; v5e has 128M physical
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(yd, b, rreg, active, jnp.broadcast_to(mu, (max(kc, 1), Bp)), f0)
-    return f[:, :B], ystar[:, :B]
+    )(yd, b, rreg, active, jnp.broadcast_to(mu, (max(kc, 1), Bp)), f0, v0)
+    return f[:, :B], ystar[:, :B], v[:, :B]
 
 
-def apgd_iterate_reference(yd, b, rreg, active, mu, f0, *, kl: int,
-                           kc: int, iterations: int,
+def apgd_iterate_reference(yd, b, rreg, active, mu, f0, v0=None, *,
+                           kl: int, kc: int, iterations: int,
                            noslip_iterations: int = 0,
                            power_iters: int = 4):
     """Pure-jnp twin of apgd_iterate (used on non-TPU backends)."""
-    return _apgd_math(yd, b, rreg, active, mu, f0, kl=kl, kc=kc,
+    if v0 is None:
+        v0 = active
+    return _apgd_math(yd, b, rreg, active, mu, f0, v0, kl=kl, kc=kc,
                       iterations=iterations,
                       noslip_iterations=noslip_iterations,
                       power_iters=power_iters)

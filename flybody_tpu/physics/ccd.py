@@ -153,7 +153,15 @@ def _pgd(pair: _Pair, u0, iters: int, proj_axis=None):
     r0 = tangrad(u, s1 - s2)
     u1 = project(u - eta0 * r0)
     carry = (u1, u, r0, jnp.broadcast_to(eta0, r0[..., :1, :].shape))
-    (u, _, _, _), _ = jax.lax.scan(body, carry, None, length=iters)
+    if iters <= 16:
+        # unrolled: scan's per-iteration kernel launches dominate the
+        # production narrowphase (tiny (lanes, 3, B) bodies); unrolling
+        # lets XLA fuse the whole run into a handful of kernels
+        for _ in range(iters):
+            carry, _ = body(carry, None)
+        u = carry[0]
+    else:
+        (u, _, _, _), _ = jax.lax.scan(body, carry, None, length=iters)
     s1, s2 = pair.sup(u)
     # one half-step polish damps any terminal two-cycle
     r = tangrad(u, s1 - s2)
@@ -225,10 +233,76 @@ def minimize_support(p1, R1, g1p, axis1_flat, p2, R2, g2p, axis2_flat,
         bs1 = jnp.where(mm, s1, bs1)
         bs2 = jnp.where(mm, s2, bs2)
         bf = jnp.where(m, f, bf)
+
+    # Riemannian Newton polish. f is flat to SECOND order in u at u*, so
+    # BB-PGD can stall ~5e-3 rad from the optimum in the ill-conditioned
+    # basins of deep anisotropic-ellipsoid contacts while the |dist|
+    # error stays ~1e-6 — and the CONTACT NORMAL drives the solver
+    # forces (a 5.5e-3 rad head/thorax normal error was the walking
+    # lockstep's 8% outlier). The ellipsoid support Hessian is closed
+    # form (segment flats contribute zero a.e.), so two Newton steps on
+    # the sphere land on u* at quadratic rate; accept-if-better keeps
+    # kinked lanes safe.
+    def _ell_hess_quad(R, ell, u, t1, t2):
+        """(t_i^T H t_j) entries of the ellipsoid-part support Hessian
+        H = (diag(ell^2) - q q^T / w^2) / w in the geom frame."""
+        ul = jnp.einsum("...jiB,...jB->...iB", R, u)
+        t1l = jnp.einsum("...jiB,...jB->...iB", R, t1)
+        t2l = jnp.einsum("...jiB,...jB->...iB", R, t2)
+        e2 = ell * ell
+        w2 = jnp.sum(e2 * ul * ul, axis=-2, keepdims=True)
+        w = jnp.sqrt(w2 + 1e-30)
+
+        def quad(x, y):
+            axy = jnp.sum(e2 * x * y, axis=-2, keepdims=True)
+            qx = jnp.sum(e2 * ul * x, axis=-2, keepdims=True)
+            qy = jnp.sum(e2 * ul * y, axis=-2, keepdims=True)
+            return ((axy - qx * qy / w2) / w)[..., 0, :]
+
+        return quad(t1l, t1l), quad(t1l, t2l), quad(t2l, t2l)
+
+    ell1, seg1 = pair.g1p
+    ell2, seg2 = pair.g2p
+    for _ in range(2):
+        # tangent basis at bu
+        ax = jnp.abs(bu[..., 0:1, :])
+        ex = jnp.zeros_like(bu).at[..., 0, :].set(1.0)
+        ey = jnp.zeros_like(bu).at[..., 1, :].set(1.0)
+        alt = jnp.where(ax < 0.5, ex, ey)
+        t1 = jnp.cross(bu, alt, axis=-2)
+        t1 = t1 / _n3(t1)
+        t2 = jnp.cross(bu, t1, axis=-2)
+        g = bs1 - bs2                           # Euclidean grad of f
+        g1_ = jnp.sum(g * t1, axis=-2)
+        g2_ = jnp.sum(g * t2, axis=-2)
+        a11a, a12a, a22a = _ell_hess_quad(pair.R1, ell1, bu, t1, t2)
+        a11b, a12b, a22b = _ell_hess_quad(pair.R2, ell2, bu, t1, t2)
+        # spherical Hessian of the degree-1 homogeneous f: H_t - f I
+        h11 = a11a + a11b - bf
+        h12 = a12a + a12b
+        h22 = a22a + a22b - bf
+        det = h11 * h22 - h12 * h12
+        ok = jnp.abs(det) > 1e-20
+        det = jnp.where(ok, det, 1.0)
+        x1 = (-g1_ * h22 + g2_ * h12) / det
+        x2 = (-g2_ * h11 + g1_ * h12) / det
+        # clip the step (far-from-quadratic guard)
+        sn = jnp.sqrt(x1 * x1 + x2 * x2) + 1e-30
+        sc = jnp.where(sn > 0.2, 0.2 / sn, 1.0) * ok
+        u_c = bu + (x1 * sc)[..., None, :] * t1 + (x2 * sc)[..., None, :] * t2
+        u_c = u_c / _n3(u_c)
+        s1c, s2c = pair.sup(u_c)
+        f_c = pair.f(u_c, s1c, s2c)
+        m = f_c < bf
+        mm = m[..., None, :]
+        bu = jnp.where(mm, u_c, bu)
+        bs1 = jnp.where(mm, s1c, bs1)
+        bs2 = jnp.where(mm, s2c, bs2)
+        bf = jnp.where(m, f_c, bf)
     return bu, bf, bs1, bs2
 
 
-def _refine_witnesses(u, s1, s2, R1, g1p, R2, g2p):
+def _refine_witnesses(u, s1, s2, p1, R1, g1p, p2, R2, g2p):
     """Center the witness pair on non-unique support sets.
 
     The support SET at u is a point except where a flat axis is
@@ -237,10 +311,18 @@ def _refine_witnesses(u, s1, s2, R1, g1p, R2, g2p):
     segment along its direction of largest extent (for the disk: the
     in-plane direction toward the other witness, which is exact for
     closest-point purposes) and a short alternating-projection pass
-    centers the pair."""
+    centers the pair.
+
+    The clamp segment is centered at the SUPPORT-SET CENTER, not at the
+    raw support point: where the segment direction is degenerate
+    (u _|_ axis) the support lands on an arbitrary ENDPOINT
+    (sign(u_z ~ 0)), and clamping around it covers only half the true
+    line — the round-4 witness sat ~70 um off MuJoCo's on deep crossed
+    femur/abdomen contacts (exact tangency point verified vs MuJoCo in
+    tools/ probes)."""
     tol = 1e-5
 
-    def sup_set(R, gp, u_world, s_w, other):
+    def sup_set(p, R, gp, u_world, s_w, other):
         ell, seg_h = gp
         ul = jnp.einsum("...jiB,...jB->...iB", R, u_world)
         un = _n3(ul)
@@ -261,10 +343,17 @@ def _refine_witnesses(u, s1, s2, R1, g1p, R2, g2p):
         use_disk = w_disk > w_seg
         d = jnp.where(use_disk, rad_dir, zaxis)
         w = jnp.maximum(w_disk, w_seg)
-        return d, w
+        # support-set center: strip the degenerate component of the
+        # support point (axial for a segment flat, radial for a disk)
+        ax = _dot(s_w - p, zaxis)
+        c_seg = s_w - ax * zaxis
+        c_disk = p + ax * zaxis
+        c = jnp.where(use_disk, c_disk, c_seg)
+        c = jnp.where(w > 0, c, s_w)
+        return d, w, c
 
-    d1, w1 = sup_set(R1, g1p, u, s1, s2)
-    d2, w2 = sup_set(R2, g2p, -u, s2, s1)
+    d1, w1, c1 = sup_set(p1, R1, g1p, u, s1, s2)
+    d2, w2, c2 = sup_set(p2, R2, g2p, -u, s2, s1)
     # keep refinement inside the support plane (orthogonal to u)
     d1 = d1 - _dot(d1, u) * u
     d2 = d2 - _dot(d2, u) * u
@@ -279,21 +368,82 @@ def _refine_witnesses(u, s1, s2, R1, g1p, R2, g2p):
         t = jnp.clip(_dot(x - c0, d), -w, w)
         return c0 + t * d
 
-    x1, x2 = s1, s2
-    for _ in range(3):
-        x1 = clamp_seg(s1, d1, w1, x2)
-        x2 = clamp_seg(s2, d2, w2, x1)
+    x1, x2 = c1, c2
+    for _ in range(6):
+        x1 = clamp_seg(c1, d1, w1, x2)
+        x2 = clamp_seg(c2, d2, w2, x1)
     return x1, x2
 
 
+def manifold_nu(u, dist, R1, param1, R2, param2):
+    """Empirical manifold multiplicity of MuJoCo's native convex collider.
+
+    MuJoCo's mjc_Convex (the narrowphase the reference model hits for all
+    ellipsoid/cylinder self-contacts, via dm_control -> MuJoCo C) emits a
+    CLUSTER of nu nearly-coincident contacts sharing one dist whenever
+    both shapes present a flat/edge feature at the contact direction —
+    measured behavior (tools/probe_manifolds.py + minimal-pair scans,
+    MuJoCo 3.10):
+
+      * any smooth shape involved (sphere/ellipsoid/capsule end):  nu = 1
+        at every depth and orientation;
+      * capsule SIDE (u _|_ axis) or cylinder side/rim/face counts as a
+        flat feature; two active flats -> nu = 3 (side/edge cluster,
+        normals fanned +-1e-3 rad), or nu = 4 when a cylinder FACE is
+        active (rim points included);
+      * narrow (crossed-axes) clusters collapse back to 1 below
+        |dist| ~ 0.2 * R_flat (R_flat = largest radius among the flat
+        shapes); wide overlaps (near-parallel axes, faces) persist.
+
+    Since every cluster shares one dist/normal, nu stacked rows are
+    EXACTLY one row with regularizer R/nu through the dual solver (cone
+    projection is scale-invariant), so the engine folds nu into the
+    contact-row regularizer instead of emitting extra rows.
+
+    Returns nu (..., B) in {1, 3, 4} as a float array.
+    """
+    ell1, seg1, r1, _ = param1
+    ell2, seg2, r2, _ = param2
+
+    def feats(R, ell, seg, rad):
+        a = R[..., :, 2, :]                    # world axis (local z)
+        c = jnp.abs(_dot(a, u))[..., 0, :]     # |cos(angle to u)|
+        disk = (ell[..., 0, :] > 0) & (ell[..., 2, :] <= 0)
+        has_seg = seg[..., 0, :] > 0
+        side = has_seg & (c < 0.02)
+        face = disk & (c > 0.999)
+        rim = disk & ~face & ~side
+        flat = side | face | rim
+        # lateral radius of the flat feature (cylinder radius or the
+        # capsule ball radius) for the depth-collapse gate
+        rflat = jnp.where(disk, ell[..., 0, :], rad[..., 0, :])
+        return flat, face, side, rflat, a
+
+    flat1, face1, side1, rf1, a1 = feats(R1, ell1, seg1, r1)
+    flat2, face2, side2, rf2, a2 = feats(R2, ell2, seg2, r2)
+    both = flat1 & flat2
+    any_face = face1 | face2
+    rmax = jnp.maximum(jnp.where(flat1, rf1, 0.0),
+                       jnp.where(flat2, rf2, 0.0))
+    # near-parallel side-side overlaps are wide (line contacts) and do
+    # not collapse with depth; crossed ones do
+    cx = jnp.cross(a1, a2, axis=-2)
+    parallel = jnp.sum(cx * cx, axis=-2) < 0.09   # sin^2 < 0.3^2
+    wide = (side1 & side2 & parallel) | any_face
+    keep = both & (dist < 0.0) & (wide | (-dist < 0.2 * rmax))
+    nu = jnp.where(keep, jnp.where(any_face, 4.0, 3.0), 1.0)
+    return nu.astype(u.dtype)
+
+
 def narrowphase(p1, R1, param1, p2, R2, param2, iters: int = 32,
-                refine: bool = True, u0=None):
+                refine: bool = True, u0=None, with_nu: bool = False):
     """Full convex narrowphase for a batch of lanes.
 
     param_i = (ell (...,3,1|B), seg (...,1,1|B), radius (...,1,1|B),
     axis_flat: bool). Returns (dist (..., B), pos (..., 3, B),
     normal (..., 3, B)); the normal points from geom1 toward geom2
-    (MuJoCo convention after the t1<=t2 swap)."""
+    (MuJoCo convention after the t1<=t2 swap). With ``with_nu`` also
+    returns the manifold multiplicity (see manifold_nu)."""
     ell1, seg1, r1, ax1 = param1
     ell2, seg2, r2, ax2 = param2
     g1p = (ell1, seg1)
@@ -301,7 +451,7 @@ def narrowphase(p1, R1, param1, p2, R2, param2, iters: int = 32,
     u, f, s1, s2 = minimize_support(p1, R1, g1p, ax1, p2, R2, g2p, ax2,
                                     iters, u0=u0)
     if refine:
-        s1, s2 = _refine_witnesses(u, s1, s2, R1, g1p, R2, g2p)
+        s1, s2 = _refine_witnesses(u, s1, s2, p1, R1, g1p, p2, R2, g2p)
     core = -f                                  # signed core distance
     dist = core - (r1 + r2)[..., 0, :]
     # u* points from geom1 toward geom2 in both regimes
@@ -309,6 +459,9 @@ def narrowphase(p1, R1, param1, p2, R2, param2, iters: int = 32,
     x1 = s1 + r1 * n
     x2 = s2 - r2 * n
     pos = 0.5 * (x1 + x2)
+    if with_nu:
+        nu = manifold_nu(u, dist, R1, param1, R2, param2)
+        return dist, pos, n, nu
     return dist, pos, n
 
 

@@ -270,6 +270,68 @@ def _make_hfield_sphere(m: Model, hid):
     return fn
 
 
+def _hfield_tangent_plane(m: Model, hid, p1, m1, xy):
+    """World-space tangent plane (anchor point, unit normal) of the
+    heightfield at local footprint xy (P, 2, B)."""
+    h, nl = _hfield_height_normal(m, hid, xy, m.hfield_size[hid])
+    n = bq.matvec(m1, nl)
+    anchor_l = jnp.concatenate([xy, h[..., None, :]], axis=-2)
+    anchor = p1 + bq.matvec(m1, anchor_l)
+    return anchor, n
+
+
+def _make_hfield_ellipsoid(m: Model, hid):
+    """Hfield vs ellipsoid via the local tangent plane with one support
+    refinement: evaluate the bilinear surface under the ellipsoid's
+    deepest point and run the analytic plane-ellipsoid form there.
+
+    Exact in the limit of terrain flat at the geom's footprint scale —
+    the regime of the reference's procedural sine terrains (hills.py
+    wavelengths >> geom sizes); MuJoCo's mjc_ConvexHField instead
+    collides against a local triangle prism mesh (oracle comparison in
+    tests/test_ccd.py::test_hfield_convex_vs_mujoco)."""
+
+    def fn(p1, m1, s1, p2, m2, s2):
+        xy = bq.matvec_t(m1, p2 - p1)[..., :2, :]
+        sp = p2
+        for _ in range(2):
+            anchor, n = _hfield_tangent_plane(m, hid, p1, m1, xy)
+            nloc = bq.matvec_t(m2, n)
+            sup_l = -(s2 * s2 * nloc) / jnp.maximum(_norm(s2 * nloc), 1e-12)
+            sp = p2 + bq.matvec(m2, sup_l)
+            xy = bq.matvec_t(m1, sp - p1)[..., :2, :]
+        anchor, n = _hfield_tangent_plane(m, hid, p1, m1, xy)
+        dd = _dot(n, sp - anchor)
+        pos = sp - 0.5 * dd * n
+        return dd[..., 0, :][:, None], pos[:, None], n[:, None]
+
+    return fn
+
+
+def _make_hfield_cylinder(m: Model, hid):
+    """Hfield vs cylinder: tangent-plane at the footprint, analytic
+    plane-cylinder 3-point rim manifold, one refinement at the deepest
+    witness (same approximation regime as _make_hfield_ellipsoid)."""
+
+    def fn(p1, m1, s1, p2, m2, s2):
+        xy = bq.matvec_t(m1, p2 - p1)[..., :2, :]
+
+        def plane_pts(xy):
+            anchor, n = _hfield_tangent_plane(m, hid, p1, m1, xy)
+            frame = _make_frame(n)                 # rows (n, t1, t2)
+            fake_m = jnp.stack([frame[..., 1, :, :], frame[..., 2, :, :],
+                                frame[..., 0, :, :]], axis=-2)
+            return _plane_cylinder(anchor, fake_m, s1, p2, m2, s2)
+
+        dd, pos, nn = plane_pts(xy)
+        deepest = jnp.argmin(dd, axis=1)[:, None]            # (P, 1, B)
+        psel = jnp.take_along_axis(pos, deepest[..., None, :], axis=1)
+        xy = bq.matvec_t(m1, psel[:, 0] - p1)[..., :2, :]
+        return plane_pts(xy)
+
+    return fn
+
+
 def _make_hfield_capsule(m: Model, hid):
     sph = _make_hfield_sphere(m, hid)
 
@@ -303,6 +365,10 @@ def _dispatch(m: Model, t1: int, t2: int):
         return _make_hfield_sphere(m, 0)
     if t1 == T.GEOM_HFIELD and t2 == T.GEOM_CAPSULE:
         return _make_hfield_capsule(m, 0)
+    if t1 == T.GEOM_HFIELD and t2 == T.GEOM_ELLIPSOID:
+        return _make_hfield_ellipsoid(m, 0)
+    if t1 == T.GEOM_HFIELD and t2 == T.GEOM_CYLINDER:
+        return _make_hfield_cylinder(m, 0)
     raise NotImplementedError(f"collision pair {(t1, t2)}")
 
 
@@ -523,11 +589,14 @@ def _ccd_stage(m: Model, d: Data, dtype):
             old_u = d.ccd_warm_u[off:off + N].astype(dtype)
             hit = (sel[:, None, :] == old_id[None, :, :]).astype(dtype)
             u0 = jnp.einsum("koB,ocB->kcB", hit, old_u)
-        dist, pos, nrm = ccd_mod.narrowphase(p1, R1, prm1, p2, R2, prm2,
-                                             iters=m.ccd_iters, u0=u0)
+        dist, pos, nrm, nu = ccd_mod.narrowphase(
+            p1, R1, prm1, p2, R2, prm2, iters=m.ccd_iters, u0=u0,
+            with_nu=True)
 
         col = lambda i: ts[:, i]               # (N, B)
-        stat = jnp.stack([col(10), col(11), col(17), col(18), col(19),
+        # manifold multiplicity folds into the row regularizer: nu
+        # coincident MuJoCo contacts == one row at invw/nu (ccd.manifold_nu)
+        stat = jnp.stack([col(10), col(11), col(17), col(18) / nu, col(19),
                           col(20), col(21), col(22), col(23), col(24),
                           jnp.full_like(col(0), -1.0),
                           jnp.zeros_like(col(0))], axis=1)
@@ -728,6 +797,7 @@ def collision_update(m: Model, d: Data) -> Data:
         nrm_l.append(nrm)
 
     new_warm_u = None
+    invw_ccd_l = []
     if m.ccd_budget > 0:
         warm_u_l = []
         off = 0
@@ -749,27 +819,35 @@ def collision_update(m: Model, d: Data) -> Data:
             # previous direction (no lane matching), so fewer PGD
             # iterations converge: measured 1.9e-6 m max error at 4
             # warm iters vs 4.8e-8 at 8 cold (tools/ccd_iter_sweep.py)
-            cds, cdp, cdn = ccd_mod.narrowphase(
+            cds, cdp, cdn, cnu = ccd_mod.narrowphase(
                 p1, R1, prm1, p2, R2, prm2,
-                iters=max(4, m.ccd_iters - 3), u0=u0)
+                iters=max(4, m.ccd_iters - 3), u0=u0, with_nu=True)
             dist_l.append(cds)
             pos_l.append(cdp)
             nrm_l.append(cdn)
             warm_u_l.append(cdn)
+            invw_ccd_l.append(ts[:, 18] / cnu)
             off += N
         new_warm_u = jnp.concatenate(warm_u_l, axis=0)
 
     dist = jnp.concatenate(dist_l, axis=0)
     pos = jnp.concatenate(pos_l, axis=0)
     nrm = jnp.concatenate(nrm_l, axis=0)
+    # manifold multiplicity re-evaluated at the new penetration for ccd
+    # lanes (ccd.manifold_nu); analytic lanes keep their selection invw
+    invw = con.invw
+    if invw_ccd_l:
+        n_ccd = sum(x.shape[0] for x in invw_ccd_l)
+        invw = jnp.concatenate(
+            [con.invw[:-n_ccd]] + invw_ccd_l, axis=0).astype(con.invw.dtype)
     pos_c = dist - con.margin
     k_, b_, imp = _kbi((con.solref[:, 0], con.solref[:, 1]),
                        tuple(con.solimp[:, i] for i in range(5)), pos_c,
                        tsmin=2.0 * m.opt.timestep)
-    R = jnp.maximum((1.0 - imp) / imp * con.invw, 1e-12)
+    R = jnp.maximum((1.0 - imp) / imp * invw, 1e-12)
     contact = con.replace(dist=dist, pos=pos, frame=_make_frame(nrm),
-                          k=k_, b=b_, R=R)
+                          k=k_, b=b_, R=R, invw=invw)
     if new_warm_u is not None:
         return d.replace(contact=contact,
                          ccd_warm_u=new_warm_u.astype(d.ccd_warm_u.dtype))
-    return d.replace(contact=contact)
+    return d.replace(contact=contact).replace(contact=contact)

@@ -136,15 +136,13 @@ def euler(m: Model, d: Data) -> Data:
     """Semi-implicit Euler with implicit-in-velocity joint damping,
     matching MuJoCo's default integrator.
 
-    (M + h diag(damping)) qacc' = qfrc_smooth + qfrc_constraint, solved
-    with a second sparse tree factorization (same pattern as qM)."""
+    (M + h diag(damping)) qacc' = qfrc_smooth + qfrc_constraint, using
+    the implicit-damping factor computed alongside qM's in smooth.crb
+    (one stacked elimination pass per substep instead of two)."""
     h = m.opt.timestep.astype(d.qpos.dtype)
     tree = m.tree
-    MhB = d.qM.at[np.asarray(tree.diag_entry)].add(
-        h * m.dof_damping[:, None])
-    LD, Dinv = TL.factor(tree, MhB)
     rhs = d.qfrc_smooth + d.qfrc_constraint
-    qacc = TL.solve(tree, LD, Dinv, rhs)
+    qacc = TL.solve(tree, d.qLDh, d.qLDiagInvh, rhs)
     qvel = d.qvel + h * qacc
     act = _integrate_act(m, d, h)
     qpos = _integrate_qpos(m, d.qpos, qvel, h)

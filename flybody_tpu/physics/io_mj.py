@@ -37,6 +37,8 @@ _PAIR_NCON = {
     (T.GEOM_PLANE, T.GEOM_BOX): 4,
     (T.GEOM_HFIELD, T.GEOM_SPHERE): 1,
     (T.GEOM_HFIELD, T.GEOM_CAPSULE): 2,
+    (T.GEOM_HFIELD, T.GEOM_ELLIPSOID): 1,
+    (T.GEOM_HFIELD, T.GEOM_CYLINDER): 3,
     (T.GEOM_SPHERE, T.GEOM_SPHERE): 1,
     (T.GEOM_SPHERE, T.GEOM_CAPSULE): 1,
     (T.GEOM_SPHERE, T.GEOM_BOX): 1,
@@ -252,9 +254,13 @@ def put_model(m, dtype=jnp.float32, con_sel: dict | None = None,
                 solref = mix * m.geom_solref[g1] + (1 - mix) * m.geom_solref[g2]
             solimp = mix * m.geom_solimp[g1] + (1 - mix) * m.geom_solimp[g2]
             fric = np.maximum(m.geom_friction[g1], m.geom_friction[g2])
-        # MuJoCo >= 3.x: contact.includemargin == margin (gap does not
-        # shrink the constraint zone; verified empirically vs the oracle)
-        margin = max(float(m.geom_margin[g1]), float(m.geom_margin[g2]))
+        # MuJoCo 3.10 (measured, two-sphere probes): the pair margin is
+        # the SUM of the two geoms' margins, contact.includemargin equals
+        # that sum, and geom_gap has no observable effect on row
+        # inclusion or force (the round-4 engine used max() — wrong by
+        # 2x on the fly's adhesion-class pairs where both geoms carry
+        # margin 5e-4)
+        margin = float(m.geom_margin[g1]) + float(m.geom_margin[g2])
         fric5 = np.array([fric[0], fric[0], fric[1], fric[2], fric[2]])
         return cd, solref, solimp, fric5, margin
 
@@ -547,6 +553,8 @@ def make_data(model: Model, B: int = 1, dtype=None) -> Data:
         warm_sel=jnp.zeros((_ksum(model), B), jnp.int32),
         warm_f=z(_ksum(model), 3),
         warm_lim=z(_nlimit(model)),
+        qLDh=z(model.tree.nM), qLDiagInvh=z(nv),
+        apgd_v=jnp.ones((_fused_r(model), B), dtype=dtype),
         ccd_warm_id=jnp.full((model.ccd_budget, B), -1, jnp.int32),
         ccd_warm_u=z(model.ccd_budget, 3),
         ccd_lane_tab=z(model.ccd_budget, 25),
@@ -562,6 +570,15 @@ def _ksum(model: Model) -> int:
 def _nlimit(model: Model) -> int:
     from flybody_tpu.physics import constraint as C
     return len(C.efc_meta(model).limit_ids)
+
+
+def _fused_r(model: Model) -> int:
+    """Total fused-solver row count R (0 when the fused path is off)."""
+    if model.opt.contact_solver != "fused":
+        return 0
+    from flybody_tpu.physics import constraint as C
+    from flybody_tpu.physics import solver_fused as SF
+    return SF.fused_layout(model, C.efc_meta(model))["R"]
 
 
 def unbatch(x):

@@ -149,7 +149,12 @@ def com_vel(m: Model, d: Data) -> Data:
 
 
 def crb(m: Model, d: Data) -> Data:
-    """mj_crb + mj_factorM: compressed tree-sparse inertia + LDL^T."""
+    """mj_crb + mj_factorM: compressed tree-sparse inertia + LDL^T.
+
+    Factors BOTH M and (M + h diag(damping)) in one stacked elimination
+    pass — the Euler implicit-damping factor (forward.euler) shares the
+    sparsity pattern and schedule, so stacking halves the level-sweep
+    launches of the two per-substep factorizations."""
     from flybody_tpu.physics.kinematics import mul_inertia
     from flybody_tpu.physics.sensors import subtree_sum
     crb_inert = subtree_sum(m, d.cinert)
@@ -165,8 +170,13 @@ def crb(m: Model, d: Data) -> Data:
     qM = jnp.sum(tmp[ei] * d.cdof[ej], axis=-2)          # (nM, B)
     qM = qM.at[np.asarray(tree.diag_entry)].add(
         m.dof_armature[:, None])
-    qLD, qLDiagInv = TL.factor(tree, qM)
-    return d.replace(qM=qM, qLD=qLD, qLDiagInv=qLDiagInv)
+    h = m.opt.timestep.astype(qM.dtype)
+    MhB = qM.at[np.asarray(tree.diag_entry)].add(
+        h * m.dof_damping.astype(qM.dtype)[:, None])
+    both = jnp.stack([qM, MhB], axis=1)                  # (nM, 2, B)
+    LD2, Dinv2 = TL.factor(tree, both)
+    return d.replace(qM=qM, qLD=LD2[:, 0], qLDiagInv=Dinv2[:, 0],
+                     qLDh=LD2[:, 1], qLDiagInvh=Dinv2[:, 1])
 
 
 def solve_m(m: Model, d: Data, rhs: jnp.ndarray) -> jnp.ndarray:

@@ -100,8 +100,13 @@ def _mdiff(m: Model, b1, b2, dtype):
     return jnp.einsum("kbB,bv->vkB", ohd, maskd)
 
 
-def solve_fused(m: Model, d: Data, iterations: int | None = None) -> Data:
-    """Drop-in replacement for constraint.solve (contact_solver='fused')."""
+def solve_fused(m: Model, d: Data, iterations: int | None = None,
+                _stage: str = "full") -> Data:
+    """Drop-in replacement for constraint.solve (contact_solver='fused').
+
+    ``_stage`` is a profiling knob (tools/profile_fused.py): "assembly"
+    stops after row assembly, "yd" after the upsolve kernel, "apgd"
+    after the iteration kernel; "full" (default) is production."""
     from flybody_tpu.physics import constraint as C
 
     meta = C.efc_meta(m)
@@ -149,23 +154,28 @@ def solve_fused(m: Model, d: Data, iterations: int | None = None) -> Data:
                 jnp.arange(nl, dtype=jnp.int32)[:, None], (nl, B))
         oh_lim = (idx[:, None, :] == jnp.arange(nl)[None, :, None]
                   ).astype(dtype)                          # (n_lim, nl, B)
-        g = lambda x: jnp.einsum("klB,lB->kB", oh_lim, x)
-        sign_s = g(lim.sign)
         dadr = jnp.asarray(np.asarray(lim.dadr), jnp.int32)
-        dadr_s = jnp.einsum("klB,lB->kB", oh_lim,
-                            jnp.broadcast_to(
-                                dadr.astype(dtype)[:, None], (nl, B)))
-        dadr_s = jnp.round(dadr_s).astype(jnp.int32)       # (n_lim, B)
+        # single stacked payload: one pass over the one-hot instead of 8
+        # (some columns are batch-broadcast (nl, 1) constants)
+        pay_l = jnp.stack([
+            jnp.broadcast_to(x, (nl, B)) for x in (
+                lim.sign, dadr.astype(dtype)[:, None],
+                lim.k, lim.b, lim.pos, lim.R, lim.active,
+                d.warm_lim.astype(dtype))
+        ], axis=1)                                         # (nl, 8, B)
+        sel_l8 = jnp.einsum("klB,lcB->kcB", oh_lim, pay_l)
+        sign_s = sel_l8[:, 0]
+        dadr_s = jnp.round(sel_l8[:, 1]).astype(jnp.int32)  # (n_lim, B)
         u6_rows.append(jnp.zeros((n_lim, 6, B), dtype))
         b1_rows.append(jnp.zeros((n_lim, B), jnp.int32))
         b2_rows.append(jnp.zeros((n_lim, B), jnp.int32))
         ls_rows.append(sign_s)
         la_rows.append(dadr_s)
-        k_rows.append(g(lim.k))
-        b_rows.append(g(lim.b))
-        pos_rows.append(g(lim.pos))
-        r_rows.append(g(lim.R))
-        act_rows.append(g(lim.active))
+        k_rows.append(sel_l8[:, 2])
+        b_rows.append(sel_l8[:, 3])
+        pos_rows.append(sel_l8[:, 4])
+        r_rows.append(sel_l8[:, 5])
+        act_rows.append(sel_l8[:, 6])
 
     # ---- contact row ingredients -------------------------------------
     def con_slice(ranges, field):
@@ -290,8 +300,7 @@ def solve_fused(m: Model, d: Data, iterations: int | None = None) -> Data:
     # ---- warm start ---------------------------------------------------
     f0_parts = []
     if n_lim:
-        f0_parts.append(jnp.einsum("klB,lB->kB", oh_lim,
-                                   d.warm_lim.astype(dtype)))
+        f0_parts.append(sel_l8[:, 7])
     k_warm = k1 + kc
     if k1:
         hit = (sel_c1[:, None, :] == d.warm_sel[None, :k_warm, :]
@@ -309,22 +318,37 @@ def solve_fused(m: Model, d: Data, iterations: int | None = None) -> Data:
     f0 = jnp.concatenate(f0_parts, axis=0)
 
     # ---- kernels -------------------------------------------------------
+    if _stage == "assembly":
+        probe = (jnp.sum(u6_all, axis=(0, 1)) + jnp.sum(kcoef, axis=0)
+                 + jnp.sum(f0, axis=0) + jnp.sum(active, axis=0))
+        return d.replace(qacc=d.qacc_smooth + 0.0 * probe[None, :])
     use_ref = jax.default_backend() != "tpu"
     maskd = np.asarray(m.body_dof_mask).astype(np.float32)
     yd, bvec = SK.upsolve_build_yd(
         m.tree, D6, u6_all, b1_all, b2_all, ls_all, la_all, maskd,
         d.qLD, d.qLDiagInv, d.qacc_smooth, d.qvel, kcoef, bcoef, posr)
 
+    if _stage == "yd":
+        probe = jnp.sum(yd, axis=(0, 1)) + jnp.sum(bvec, axis=0)
+        return d.replace(qacc=d.qacc_smooth + 0.0 * probe[None, :])
+    # warm Lipschitz: previous substep's power vector (Data.apgd_v) lets
+    # 2 warm power iterations replace 4 cold ones (~4 fewer VMEM passes
+    # over Yd per substep)
+    warm_v = d.apgd_v.astype(dtype) if d.apgd_v.shape[0] == R else None
     kw = dict(kl=kl, kc=kc, iterations=int(niter),
-              noslip_iterations=int(m.opt.noslip_iterations))
+              noslip_iterations=int(m.opt.noslip_iterations),
+              power_iters=3 if warm_v is not None else 4)
     if use_ref:
-        f, ystar = SK.apgd_iterate_reference(yd, bvec, rreg, active,
-                                             mu_sel, f0, **kw)
+        f, ystar, v_new = SK.apgd_iterate_reference(
+            yd, bvec, rreg, active, mu_sel, f0, warm_v, **kw)
     else:
-        f, ystar = SK.apgd_iterate(yd, bvec, rreg, active, mu_sel, f0,
-                                   **kw)
+        f, ystar, v_new = SK.apgd_iterate(yd, bvec, rreg, active, mu_sel,
+                                          f0, warm_v, **kw)
 
     # ---- qfrc / qacc from ystar ---------------------------------------
+    if _stage == "apgd":
+        probe = jnp.sum(f, axis=0) + jnp.sum(ystar, axis=0)
+        return d.replace(qacc=d.qacc_smooth + 0.0 * probe[None, :])
     sqrt_d = 1.0 / jnp.sqrt(jnp.maximum(d.qLDiagInv, 1e-30))
     qfrc = TL.mul_lt(m.tree, d.qLD, ystar * sqrt_d)
     qacc = d.qacc_smooth + TL.solve_down(
@@ -362,6 +386,8 @@ def solve_fused(m: Model, d: Data, iterations: int | None = None) -> Data:
         warm_lim = jnp.einsum("klB,kB->lB", oh_lim, f[:n_lim] * ok)
     else:
         warm_lim = d.warm_lim
+    apgd_v = (v_new.astype(d.apgd_v.dtype)
+              if d.apgd_v.shape[0] == R else d.apgd_v)
     return d.replace(qacc=qacc, qfrc_constraint=qfrc,
                      warm_sel=warm_sel.astype(jnp.int32), warm_f=warm_f,
-                     warm_lim=warm_lim)
+                     warm_lim=warm_lim, apgd_v=apgd_v)

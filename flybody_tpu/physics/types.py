@@ -410,6 +410,10 @@ class Data:
     qM: jax.Array           # (nM, B) compressed (tree-sparse) inertia
     qLD: jax.Array          # (nM, B) sparse LDL^T factor (L off-diag, D diag)
     qLDiagInv: jax.Array    # (nv, B) 1/D of the factorization
+    # factor of (M + h diag(damping)) for the implicit-damping Euler
+    # update — computed alongside qLD in one stacked factor pass (crb)
+    qLDh: jax.Array         # (nM, B)
+    qLDiagInvh: jax.Array   # (nv, B)
     contact: Contact
 
     # fwd_velocity products
@@ -440,6 +444,13 @@ class Data:
     warm_sel: jax.Array       # (Ksum, B) int32 selected candidate slot ids
     warm_f: jax.Array         # (Ksum, 3, B) contact force (n, t1, t2)
     warm_lim: jax.Array       # (nlimit, B) limit-row forces
+    # fused-solver warm Lipschitz estimate: previous substep's power-
+    # iteration eigenvector of the scaled dual operator (solver_fused).
+    # The dominant eigenpair drifts slowly between substeps, so 2 warm
+    # power iterations replace 4 cold ones. Derived state (not in
+    # STATE_FIELDS): stale values after an auto-reset only seed the next
+    # power iteration.
+    apgd_v: jax.Array         # (R_fused, B)
     # ccd narrowphase warm start: previous substep's selected lane ids
     # (global slot ids, as in contact.sel) and converged support
     # directions; lanes with |u| ~ 0 reseed from the center line.

@@ -256,7 +256,11 @@ class RunThroughCorridor(RodentTaskBase):
             fail = fail | (w.contact_flag(model, data, w.nonfoot_geoms,
                                           w.ground_geoms) > 0)
         if self.terminate_at_height is not None:
-            feet_z = data.site_xpos[w.end_effector_sites][:, 2]
+            # dm_control checks the end-effector BODY heights
+            if len(getattr(w, "end_effector_bodies", ())):
+                feet_z = data.xpos[w.end_effector_bodies][:, 2]
+            else:
+                feet_z = data.site_xpos[w.end_effector_sites][:, 2]
             fail = fail | jnp.any(feet_z < self.terminate_at_height)
         timer = jnp.where(reward < self.reward_threshold, ts["timer"] + 1, 0)
         ts["timer"] = timer

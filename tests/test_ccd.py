@@ -194,3 +194,205 @@ def test_warm_start_converges_in_two_iters():
                                        b[2], iters=32,
                                        u0=jnp.zeros_like(n_ref))
         assert abs(float(d_cold[0]) - float(d_ref[0])) < 1e-5 * scale
+
+
+# ---------------------------------------------------------------------
+# hfield vs ellipsoid/cylinder (tangent-plane narrowphase,
+# collision._make_hfield_{ellipsoid,cylinder}) vs MuJoCo mjc_ConvexHField
+# ---------------------------------------------------------------------
+
+HF_N = 33
+
+
+def _hfield_scene(gtype, size, pos, quat=(1, 0, 0, 0), amp=0.25):
+    xml = f"""
+<mujoco>
+  <asset><hfield name="hf" nrow="{HF_N}" ncol="{HF_N}"
+                 size="0.5 0.5 0.05 0.01"/></asset>
+  <worldbody>
+    <geom type="hfield" hfield="hf" pos="0 0 0"/>
+    <body pos="{' '.join(map(str, pos))}"
+          quat="{' '.join(map(str, quat))}"><joint type="free"/>
+      <geom type="{gtype}" size="{' '.join(map(str, size))}"/></body>
+  </worldbody>
+</mujoco>"""
+    m = mujoco.MjModel.from_xml_string(xml)
+    x = np.linspace(-1, 1, HF_N)
+    X, Y = np.meshgrid(x, x)
+    z = 0.5 + amp * np.sin(2.0 * X) * np.cos(2.0 * Y)
+    m.hfield_data[:] = z.ravel()
+    d = mujoco.MjData(m)
+    mujoco.mj_forward(m, d)
+    return m, d
+
+
+def _our_hfield_contact(m, d):
+    from flybody_tpu.physics import forward as F
+    from flybody_tpu.physics import io_mj
+    model = io_mj.put_model(m, dtype=jnp.float64)
+    data = io_mj.make_data(model, dtype=jnp.float64)
+    data = io_mj.set_state(data, qpos=d.qpos)
+    data = F.fwd_position(model, data)
+    cd = np.asarray(data.contact.dist[:, 0])
+    k = int(np.argmin(cd))
+    n = np.asarray(data.contact.frame[k, 0, :, 0])
+    return cd.min(), n
+
+
+def _terrain_height(x, y, amp=0.25):
+    """The analytic height of the _hfield_scene surface at world (x, y)
+    (hfield size 0.5 x 0.5, z_top 0.05)."""
+    return 0.05 * (0.5 + amp * np.sin(2.0 * x / 0.5)
+                   * np.cos(2.0 * y / 0.5))
+
+
+def _support_height(size, quat, gtype):
+    """Vertical support extent of the geom below its center."""
+    q = np.asarray(quat, float)
+    q = q / np.linalg.norm(q)
+    w, x, y, z = q
+    R = np.array([
+        [1 - 2 * (y * y + z * z), 2 * (x * y - w * z), 2 * (x * z + w * y)],
+        [2 * (x * y + w * z), 1 - 2 * (x * x + z * z), 2 * (y * z - w * x)],
+        [2 * (x * z - w * y), 2 * (y * z + w * x), 1 - 2 * (x * x + y * y)],
+    ])
+    nl = R.T @ np.array([0.0, 0.0, 1.0])
+    if gtype == "ellipsoid":
+        return float(np.linalg.norm(np.asarray(size) * nl))
+    r, h = size
+    return float(r * np.hypot(nl[0], nl[1]) + h * abs(nl[2]))
+
+
+@pytest.mark.parametrize("gtype,size,quat", [
+    ("ellipsoid", (0.05, 0.03, 0.02), (1, 0, 0, 0)),
+    ("ellipsoid", (0.05, 0.03, 0.02), (0.9, 0.3, 0.3, 0.0)),
+    ("cylinder", (0.03, 0.02), (1, 0, 0, 0)),
+    ("cylinder", (0.03, 0.02), (0.9, 0.35, 0.2, 0.1)),
+], ids=["ell-flat", "ell-tilt", "cyl-flat", "cyl-tilt"])
+def test_hfield_convex_vs_mujoco(gtype, size, quat):
+    """Deepest-contact distance and normal parity vs MuJoCo's prism-mesh
+    hfield collider on gentle terrain, in the SHALLOW-contact regime
+    (|dist| <~ 0.3 min size, the physical regime of terrain landings).
+    The tangent-plane narrowphase is exact in the flat-terrain limit;
+    MuJoCo's prism discretization and our bilinear surface disagree at
+    the terrain-curvature scale, so the bar is proportional to geom
+    size, not machine epsilon. (Deep burial produces jagged prism-side
+    normals in MuJoCo and is chaotic in both engines.)"""
+    rng = np.random.RandomState(0)
+    hits = 0
+    for trial in range(5):
+        xy = rng.uniform(-0.25, 0.25, 2)
+        zc = _terrain_height(*xy) + _support_height(size, quat, gtype)
+        for dz in (-0.004, -0.0015, 0.01):
+            pos = (xy[0], xy[1], zc + dz)
+            m, d = _hfield_scene(gtype, size, pos, quat)
+            our_dist, our_n = _our_hfield_contact(m, d)
+            mj_dists = [d.contact[i].dist for i in range(d.ncon)]
+            if d.ncon == 0:
+                assert our_dist > -0.004, (
+                    "we report deep contact where MuJoCo has none",
+                    trial, pos, our_dist)
+                continue
+            hits += 1
+            mj_deep = min(mj_dists)
+            tol = 2e-3 + 0.5 * abs(mj_deep)
+            assert abs(our_dist - mj_deep) < tol, (
+                trial, pos, our_dist, mj_deep)
+            # prism-mesh EPA scatters normals across near-tied contacts
+            # (rim-vs-prism-edge rows); require agreement with the best
+            # of the comparable-depth rows, not the luck-of-the-mesh
+            # deepest one
+            align = max(
+                float(np.dot(our_n, np.asarray(d.contact[i].frame[:3])))
+                for i in range(d.ncon)
+                if d.contact[i].dist < 0.5 * mj_deep)
+            assert align > 0.9, (trial, pos, our_n, align)
+    assert hits >= 4, "oracle never saw a contact; scene setup broken"
+
+
+def test_manifold_nu_rules():
+    """ccd.manifold_nu reproduces MuJoCo's measured manifold counts
+    (tools/probe_manifolds.py scans): two active flats -> cluster of 3
+    (collapsing at depth for crossed axes), a cylinder face -> 4, any
+    smooth shape involved -> 1."""
+    import jax.numpy as jnp
+
+    def nu_of(t1, s1, q1, t2, s2, q2, z):
+        xml = f"""
+<mujoco><worldbody>
+  <body quat="{' '.join(map(str, q1))}"><joint type="free"/>
+    <geom type="{t1}" size="{' '.join(map(str, s1))}"/></body>
+  <body pos="0 0 {z}" quat="{' '.join(map(str, q2))}"><joint type="free"/>
+    <geom type="{t2}" size="{' '.join(map(str, s2))}"/></body>
+</worldbody></mujoco>"""
+        m = mujoco.MjModel.from_xml_string(xml)
+        d = mujoco.MjData(m)
+        mujoco.mj_forward(m, d)
+
+        def prep(g, tt, ss):
+            p = jnp.asarray(d.geom_xpos[g])[:, None]
+            R = jnp.asarray(d.geom_xmat[g].reshape(3, 3))[:, :, None]
+            pr = ccd.geom_core_params(TN[tt], tuple(ss) + (0.0, 0.0))
+            return p, R, (jnp.asarray(pr[0:3])[:, None],
+                          jnp.asarray(pr[3:4])[:, None],
+                          jnp.asarray(pr[4:5])[:, None], bool(pr[5]))
+
+        a = prep(0, t1, s1)
+        b = prep(1, t2, s2)
+        dist, pos, n, nu = ccd.narrowphase(a[0], a[1], a[2], b[0], b[1],
+                                           b[2], with_nu=True)
+        return float(dist[0]), float(nu[0])
+
+    I = (1, 0, 0, 0)
+    capx = (0.707107, 0, 0.707107, 0)     # axis along x
+    cyly = (0.707107, 0.707107, 0, 0)     # axis along y
+    # capsule side x cylinder side, crossed, shallow -> 3 (MuJoCo: 3)
+    dd, nu = nu_of("capsule", (0.01, 0.05), capx,
+                   "cylinder", (0.02, 0.03), cyly, 0.0295)
+    assert dd < 0 and nu == 3.0, (dd, nu)
+    # same crossed pair, deep (past 0.2 R_cyl) -> collapses to 1
+    dd, nu = nu_of("capsule", (0.01, 0.05), capx,
+                   "cylinder", (0.02, 0.03), cyly, 0.021)
+    assert dd < -0.006 and nu == 1.0, (dd, nu)
+    # smooth ellipsoid vs cylinder side -> always 1 (MuJoCo: 1)
+    dd, nu = nu_of("ellipsoid", (0.02, 0.03, 0.04), I,
+                   "cylinder", (0.02, 0.03), capx, 0.058)
+    assert dd < 0 and nu == 1.0, (dd, nu)
+    # capsule side under a cylinder FACE -> 4 (MuJoCo: 4-5)
+    dd, nu = nu_of("capsule", (0.01, 0.05), capx,
+                   "cylinder", (0.02, 0.03), I, 0.035)
+    assert dd < 0 and nu == 4.0, (dd, nu)
+
+
+def test_witness_is_tangency_on_crossed_flats():
+    """The refined witness of a deep crossed capsule/cylinder contact is
+    the exact tangency point (closest-line point), matching MuJoCo's
+    cluster center — the round-4 witness sat at a support-set endpoint
+    ~70 um away (PARITY.md)."""
+    import jax.numpy as jnp
+    xml = """
+<mujoco><worldbody>
+  <body quat="0.707107 0 0.707107 0"><joint type="free"/>
+    <geom type="capsule" size="0.01 0.05"/></body>
+  <body pos="0.012 0.004 0.028" quat="0.707107 0.707107 0 0">
+    <joint type="free"/><geom type="cylinder" size="0.02 0.03"/></body>
+</worldbody></mujoco>"""
+    m = mujoco.MjModel.from_xml_string(xml)
+    d = mujoco.MjData(m)
+    mujoco.mj_forward(m, d)
+    assert d.ncon >= 1
+    mj_center = np.mean([d.contact[i].pos for i in range(d.ncon)], axis=0)
+
+    def prep(g, tt, ss):
+        p = jnp.asarray(d.geom_xpos[g])[:, None]
+        R = jnp.asarray(d.geom_xmat[g].reshape(3, 3))[:, :, None]
+        pr = ccd.geom_core_params(TN[tt], tuple(ss) + (0.0, 0.0))
+        return p, R, (jnp.asarray(pr[0:3])[:, None],
+                      jnp.asarray(pr[3:4])[:, None],
+                      jnp.asarray(pr[4:5])[:, None], bool(pr[5]))
+
+    a = prep(0, "capsule", (0.01, 0.05))
+    b = prep(1, "cylinder", (0.02, 0.03))
+    dist, pos, n = ccd.narrowphase(a[0], a[1], a[2], b[0], b[1], b[2])
+    err = np.linalg.norm(np.asarray(pos[:, 0]) - mj_center)
+    assert err < 5e-4, (np.asarray(pos[:, 0]), mj_center, err)

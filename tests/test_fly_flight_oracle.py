@@ -52,6 +52,9 @@ def flight_fly():
             a.gainprm[0] = wp["gainprm"][0]
     spec = ff.to_spec(morph, cfg, arena_fn=None)
     mj_model = spec.compile()
+    # converged-narrowphase oracle (see tests/test_fly_model.py)
+    mj_model.opt.ccd_tolerance = 1e-12
+    mj_model.opt.ccd_iterations = 500
     model = io_mj.put_model(mj_model, dtype=jnp.float64)
     return mj_model, model
 
@@ -149,13 +152,10 @@ def test_flight_lockstep_substep_parity(flight_fly):
             errs.append(np.sqrt(diff @ M @ diff)
                         / (np.sqrt(mjd.qvel @ M @ mjd.qvel) + 1e-12))
     errs = np.asarray(errs)
-    # With the reference contact excludes restored, wing-beat substeps
-    # are machine-exact (errors ~1e-16 from substep 16 on). The single
-    # remaining outlier is substep 0, where MuJoCo emits a 3-point
-    # manifold on the deeply-penetrating femur/abdomen line contact
-    # (native EPA multi-contact; our narrowphase emits one witness ->
-    # 1/3 the normal impedance on that row for the initial transient).
-    # Tracked in PARITY.md "multi-point manifolds".
-    assert np.median(errs) < 0.01, errs
-    assert errs.max() < 0.25, errs
-    assert np.sort(errs)[-2] < 0.05, errs   # only ONE manifold outlier
+    # Round 5: with manifold multiplicity (ccd.manifold_nu), exact
+    # support-set-centered witnesses, and the summed pair margin rule,
+    # the whole trajectory is near-machine-exact (measured profile:
+    # median 2e-6, max 2.8e-4 on the initial contact transient; wing-
+    # beat substeps ~1e-16). Round-4 bar was max < 0.25.
+    assert np.median(errs) < 1e-3, errs
+    assert errs.max() < 5e-3, errs

@@ -52,6 +52,15 @@ def fly_on_ball():
     morph = ff.apply_surgery(ff.load_morphology(), cfg)
     spec = ff.to_spec(morph, cfg, arena_fn=ball_arena())
     mj_model = spec.compile()
+    # converged-narrowphase oracle (same philosophy as ORACLE_ITERS):
+    # MuJoCo's default ccd_tolerance=1e-6 leaves ~5e-3 rad of EPA noise
+    # in deep-contact NORMALS (measured: its tol=1e-12 normal matches
+    # our exact support-minimization MTD to ~1e-5 rad; at 1e-6 it is
+    # 5.5e-3 rad off and its own reported depth is below the achievable
+    # minimum). Tight tolerance makes the oracle compare physics, not
+    # the reference's narrowphase termination noise.
+    mj_model.opt.ccd_tolerance = 1e-12
+    mj_model.opt.ccd_iterations = 500
     model = io_mj.put_model(mj_model, dtype=jnp.float64)
     return mj_model, model
 
@@ -162,8 +171,13 @@ def test_fly_lockstep_substep_parity(fly_on_ball):
             errs.append(np.sqrt(diff @ M @ diff)
                         / (np.sqrt(mjd.qvel @ M @ mjd.qvel) + 1e-12))
     errs = np.asarray(errs)
-    assert np.median(errs) < 0.02, errs
-    assert errs.max() < 0.08, errs
+    # Round 5 (manifold multiplicity + support-set-centered witnesses +
+    # summed pair margins + Newton-polished normals, vs the converged-
+    # narrowphase oracle): measured median 7.9e-6, max 2.4e-4. The
+    # round-4 bars (0.02 / 0.08) were dominated by MuJoCo's own
+    # ccd_tolerance=1e-6 EPA normal noise on deep contacts.
+    assert np.median(errs) < 1e-4, errs
+    assert errs.max() < 2e-3, errs
 
 
 def test_fly_act_integration_exact(fly_on_ball):

@@ -232,26 +232,97 @@ class TestTemplateTaskParity:
 
 
 # ------------------------------------------------------------- rodent --
+def _patch_gl_free_render():
+    """Replace dm_control's Physics.render with a zeros stub so the
+    reference rodent envs (whose egocentric_camera observable renders at
+    reset) construct without any OpenGL backend. Kinematic/sensor
+    observables are unaffected — only pixels are faked."""
+    from dm_control.mujoco import engine
+
+    if getattr(engine.Physics.render, "_gl_free_stub", False):
+        return
+
+    def render(self, height=240, width=320, camera_id=-1, overlays=(),
+               depth=False, segmentation=False, scene_option=None,
+               render_flag_overrides=None, scene_callback=None):
+        if depth:
+            return np.zeros((height, width), np.float32)
+        if segmentation:
+            return np.zeros((height, width, 2), np.int32)
+        return np.zeros((height, width, 3), np.uint8)
+
+    render._gl_free_stub = True
+    engine.Physics.render = render
+    # the bowl arena re-uploads its hfield to the render context when one
+    # exists (reference hills.py:251-258 analog); report none
+    engine.Physics.contexts = property(lambda self: None)
+
+
 @needs_ref
-def test_rodent_bowl_spec_parity():
-    """Rodent escape-bowl: the reference task builds from dm_control's own
-    rodent assets. Compare action space and the non-vision observable
-    set/shapes (vision needs EGL, unavailable here)."""
-    try:
-        from vnl_ray.tasks.basic_rodent_2020 import rodent_escape_bowl
-        ref = rodent_escape_bowl(random_state=np.random.RandomState(0))
-    except Exception as e:
-        pytest.skip(f"reference rodent env unavailable: {e}")
-    from flybody_tpu.rodent_envs import rodent_escape_bowl as ours_fn
-    ours = ours_fn()
-    spec = ref.action_spec()
-    lo, hi = ours.action_spec()
-    assert spec.shape == (ours.action_size,)
-    np.testing.assert_allclose(spec.minimum, lo, atol=1e-12)
-    np.testing.assert_allclose(spec.maximum, hi, atol=1e-12)
-    ref_keys = {k.split("/")[-1] for k in ref.observation_spec()
-                if "egocentric_camera" not in k}
-    s = ours.reset(jax.random.split(jax.random.PRNGKey(0), 1))
-    our_keys = set(s.obs.keys())
-    missing = ref_keys - our_keys
-    assert not missing, f"missing rodent observables: {missing}"
+class TestRodentBowlParity:
+    """Reference rodent escape-bowl vs ours, GL-free (VERDICT r4 task #6):
+    action spec, observable set, and obs VALUES at the reference's own
+    post-reset state copied into our engine."""
+
+    @pytest.fixture(scope="class")
+    def envs(self):
+        _patch_gl_free_render()
+        try:
+            from vnl_ray.tasks.basic_rodent_2020 import rodent_escape_bowl
+            ref = rodent_escape_bowl(random_state=np.random.RandomState(0))
+        except Exception as e:
+            pytest.skip(f"reference rodent env unavailable: {e}")
+        from flybody_tpu.rodent_envs import rodent_escape_bowl as ours_fn
+        ours = ours_fn(dtype=jnp.float64)
+        return ref, ours
+
+    def test_action_and_obs_specs(self, envs):
+        ref, ours = envs
+        spec = ref.action_spec()
+        lo, hi = ours.action_spec()
+        assert spec.shape == (ours.action_size,)
+        np.testing.assert_allclose(spec.minimum, lo, atol=1e-12)
+        np.testing.assert_allclose(spec.maximum, hi, atol=1e-12)
+        ref_keys = {k.split("/")[-1] for k in ref.observation_spec()
+                    if "egocentric_camera" not in k}
+        s = ours.reset(jax.random.split(jax.random.PRNGKey(0), 1))
+        our_keys = set(s.obs.keys())
+        missing = ref_keys - our_keys
+        assert not missing, f"missing rodent observables: {missing}"
+
+    def test_obs_values_at_matched_state(self, envs):
+        """Copy the reference's post-reset qpos/qvel into our rodent
+        engine and compare every shared kinematic observable VALUE
+        (the bar that caught the fly contact-exclude bug, now applied to
+        the rodent stack). Terrain-dependent and constraint-force-
+        dependent observables get finite-only bounds: the procedural
+        bowl hfields differ by construction."""
+        ref, ours = envs
+        ts = ref.reset()
+        qpos = ref.physics.data.qpos.copy()
+        qvel = ref.physics.data.qvel.copy()
+        assert qpos.shape[0] == ours.model.nq, (
+            "rodent qpos layout mismatch vs reference")
+        ref_obs = {k.split("/")[-1]: np.asarray(v)
+                   for k, v in ts.observation.items()
+                   if "egocentric_camera" not in k}
+        our_obs = {k: np.asarray(v)
+                   for k, v in _our_obs_at_state(ours, qpos, qvel).items()}
+        # constraint- and terrain-dependent channels: values depend on
+        # the contact solution / procedural hfield, not kinematics
+        loose = {"sensors_touch", "sensors_accelerometer", "sensors_force",
+                 "task_logic", "origin"}
+        compared = []
+        for k in sorted(set(ref_obs) & set(our_obs)):
+            a, b = ref_obs[k], our_obs[k]
+            assert np.shape(a) == np.shape(b), k
+            if k in loose:
+                assert np.all(np.isfinite(b)), k
+                continue
+            np.testing.assert_allclose(
+                b, a, rtol=1e-4, atol=1e-5,
+                err_msg=f"rodent observable {k!r} diverges at matched "
+                        "state")
+            compared.append(k)
+        # the value bar must actually bite: kinematic channels compared
+        assert len(compared) >= 5, compared

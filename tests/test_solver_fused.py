@@ -195,10 +195,13 @@ def test_kernels_match_references_interpret():
     mu = jnp.asarray(rng.rand(kc, B) * 0.8 + 0.2, jnp.float32)
     f0 = jnp.zeros((R, B), jnp.float32)
     kw = dict(kl=kl, kc=kc, iterations=12, noslip_iterations=2)
-    f_r, y_r = SK.apgd_iterate_reference(yd_r, b, rreg, act, mu, f0, **kw)
-    f_k, y_k = SK.apgd_iterate(yd_r, b, rreg, act, mu, f0,
-                               interpret=True, **kw)
+    f_r, y_r, v_r = SK.apgd_iterate_reference(yd_r, b, rreg, act, mu, f0,
+                                              **kw)
+    f_k, y_k, v_k = SK.apgd_iterate(yd_r, b, rreg, act, mu, f0,
+                                    interpret=True, **kw)
     np.testing.assert_allclose(np.asarray(f_k), np.asarray(f_r),
                                rtol=1e-4, atol=1e-4)
     np.testing.assert_allclose(np.asarray(y_k), np.asarray(y_r),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(v_k), np.asarray(v_r),
                                rtol=1e-4, atol=1e-4)
