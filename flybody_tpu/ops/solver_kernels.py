@@ -52,6 +52,14 @@ def _flat_up(tree):
     return tuple(out)
 
 
+def _flat_down(tree):
+    """Concatenate the tree's down-sweep triplets (root-first order)."""
+    out = []
+    for ii, ee, jj in tree.solve_down:
+        out += [(int(i), int(e), int(j)) for i, e, j in zip(ii, ee, jj)]
+    return tuple(out)
+
+
 # --------------------------------------------------------------------------
 # Kernel A: Yd = D^{-1/2} L^{-T} J^T  and  b = aref - J qacc_smooth
 # --------------------------------------------------------------------------
@@ -473,3 +481,173 @@ def apgd_iterate_reference(yd, b, rreg, active, mu, f0, v0=None, *,
                       iterations=iterations,
                       noslip_iterations=noslip_iterations,
                       power_iters=power_iters)
+
+
+# --------------------------------------------------------------------------
+# Kernel C: the WHOLE dual solve in one pallas_call. J build + triangular
+# up-solve + APGD (+ noslip) + the two output tree sweeps, with Yd living
+# only in VMEM scratch: the (nv, R, B) Yd tensor (~260 MB/substep at
+# B=4096, R=152) never touches HBM, where the two-kernel path wrote it
+# once and read it once per substep.
+# --------------------------------------------------------------------------
+
+
+def _solve_rows_kernel(d6_ref, u6_ref, b1_ref, b2_ref, ls_ref, ld_adr_ref,
+                       maskd_ref, ld_ref, dinv_ref, qs_ref, qvel_ref,
+                       kcoef_ref, bcoef_ref, posr_ref, rreg_ref, act_ref,
+                       mu_ref, f0_ref, v0_ref,
+                       f_out, v_out, qfrc_out, dqacc_out, yd_ref,
+                       *, up, down, nbody, nv, kl, kc, iterations,
+                       noslip_iterations, power_iters):
+    dtype = d6_ref.dtype
+    b1 = b1_ref[...]
+    b2 = b2_ref[...]
+    iota_b = jax.lax.broadcasted_iota(jnp.int32, (nbody, 1, 1), 0)
+    ohd = ((b2[None] == iota_b).astype(dtype)
+           - (b1[None] == iota_b).astype(dtype))            # (nbody, R, L)
+    maskd = maskd_ref[...].astype(dtype)                    # (nbody, nv)
+    mdiff = jax.lax.dot_general(
+        maskd, ohd, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(dtype)   # (nv, R, L)
+    d6 = d6_ref[...]                                        # (nv, 6, L)
+    u6 = u6_ref[...]                                        # (R, 6, L)
+    dots = None
+    for c in range(6):
+        d6c = jax.lax.slice_in_dim(d6, c, c + 1, axis=1)    # (nv, 1, L)
+        u6c = jnp.reshape(
+            jax.lax.slice_in_dim(u6, c, c + 1, axis=1),
+            (1, u6.shape[0], u6.shape[2]))                  # (1, R, L)
+        term = d6c * u6c
+        dots = term if dots is None else dots + term
+    iota_v = jax.lax.broadcasted_iota(jnp.int32, (nv, 1, 1), 0)
+    lim = ((iota_v == ld_adr_ref[...][None]).astype(dtype)
+           * ls_ref[...][None])
+    x = dots * mdiff + lim                                  # J^T (nv, R, L)
+    velj = jnp.sum(x * qvel_ref[...][:, None, :], axis=0)
+    aj = jnp.sum(x * qs_ref[...][:, None, :], axis=0)
+    bvec = (-bcoef_ref[...] * velj - kcoef_ref[...] * posr_ref[...] - aj)
+    yd_ref[...] = x
+    ld = ld_ref[...]                                        # (nM, L)
+    for i, e, j in up:
+        yd_ref[j] = yd_ref[j] - ld[e][None, :] * yd_ref[i]
+    dinv = dinv_ref[...]                                    # (nv, L)
+    yd_ref[...] = yd_ref[...] * jnp.sqrt(dinv)[:, None, :]
+
+    f, ystar, v = _apgd_math(yd_ref[...], bvec, rreg_ref[...],
+                             act_ref[...], mu_ref[...], f0_ref[...],
+                             v0_ref[...], kl=kl, kc=kc,
+                             iterations=iterations,
+                             noslip_iterations=noslip_iterations,
+                             power_iters=power_iters)
+    f_out[...] = f
+    v_out[...] = v
+    # qfrc_constraint = L^T D^{1/2} ystar (mul_lt reads the ORIGINAL
+    # vector, so `base` stays a value); dqacc = L^{-1} D^{-1/2} ystar
+    # (sequential root-first; the ref carries the updated values)
+    base = ystar / jnp.sqrt(jnp.maximum(dinv, 1e-30))       # (nv, L)
+    qfrc_out[...] = base
+    for i, e, j in up:
+        qfrc_out[j] = qfrc_out[j] + ld[e] * base[i]
+    dqacc_out[...] = ystar * jnp.sqrt(dinv)
+    for i, e, j in down:
+        dqacc_out[i] = dqacc_out[i] - ld[e] * dqacc_out[j]
+
+
+def solve_rows(tree, d6, u6, b1, b2, lim_sign, lim_dadr, maskd,
+               ld, dinv, qacc_smooth, qvel, kcoef, bcoef, posr,
+               rreg, active, mu, f0, v0=None, *, kl: int, kc: int,
+               iterations: int, noslip_iterations: int = 0,
+               power_iters: int = 4, interpret: bool | None = None):
+    """One-call dual solve: (f (R, B), v (R, B), qfrc (nv, B),
+    dqacc (nv, B)) with qacc = qacc_smooth + dqacc.
+
+    Same row form as upsolve_build_yd + apgd_iterate chained, plus the
+    two output tree sweeps (tree_ldl.mul_lt / solve_down) done in-kernel."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    nv = d6.shape[0]
+    R, _, B = u6.shape
+    if v0 is None:
+        v0 = active
+    if interpret:
+        from flybody_tpu.ops import tree_ldl as TL
+        jt = build_jt_reference(d6, u6, b1, b2, lim_sign, lim_dadr,
+                                jnp.asarray(maskd, d6.dtype))
+        yd, bvec = upsolve_yd_reference(tree, jt, ld, dinv, qacc_smooth,
+                                        qvel, kcoef, bcoef, posr)
+        f, ystar, v = _apgd_math(yd, bvec, rreg, active, mu, f0, v0,
+                                 kl=kl, kc=kc, iterations=iterations,
+                                 noslip_iterations=noslip_iterations,
+                                 power_iters=power_iters)
+        sqrt_d = 1.0 / jnp.sqrt(jnp.maximum(dinv, 1e-30))
+        qfrc = TL.mul_lt(tree, ld, ystar * sqrt_d)
+        dqacc = TL.solve_down(tree, ld, ystar * jnp.sqrt(dinv))
+        return f, v, qfrc, dqacc
+
+    nbody = maskd.shape[0]
+    nM = ld.shape[0]
+    Bp = max(_round_up(B, LANE), LANE)
+    if Bp != B:
+        padb = lambda x: jnp.pad(
+            x, ((0, 0),) * (x.ndim - 1) + ((0, Bp - B),))
+        d6, u6, ld, dinv, qacc_smooth, qvel = map(
+            padb, (d6, u6, ld, dinv, qacc_smooth, qvel))
+        b1, b2, lim_sign, kcoef, bcoef, posr, f0, v0 = map(
+            padb, (b1, b2, lim_sign, kcoef, bcoef, posr, f0, v0))
+        mu = padb(mu)
+        lim_dadr = jnp.pad(lim_dadr, ((0, 0), (0, Bp - B)),
+                           constant_values=-1)
+        rreg = jnp.pad(rreg, ((0, 0), (0, Bp - B)), constant_values=1.0)
+        active = padb(active)
+    maskd_a = jnp.asarray(maskd, d6.dtype)
+
+    kernel = functools.partial(
+        _solve_rows_kernel, up=_flat_up(tree), down=_flat_down(tree),
+        nbody=nbody, nv=nv, kl=kl, kc=kc, iterations=iterations,
+        noslip_iterations=noslip_iterations, power_iters=power_iters)
+    vec = lambda: pl.BlockSpec((nv, LANE), lambda i: (0, i),
+                               memory_space=pltpu.VMEM)
+    rvec = lambda: pl.BlockSpec((R, LANE), lambda i: (0, i),
+                                memory_space=pltpu.VMEM)
+    f, v, qfrc, dqacc = pl.pallas_call(
+        kernel,
+        grid=(Bp // LANE,),
+        in_specs=[
+            pl.BlockSpec((nv, 6, LANE), lambda i: (0, 0, i),
+                         memory_space=pltpu.VMEM),            # d6
+            pl.BlockSpec((R, 6, LANE), lambda i: (0, 0, i),
+                         memory_space=pltpu.VMEM),            # u6
+            rvec(), rvec(), rvec(), rvec(),                   # b1 b2 ls ladr
+            pl.BlockSpec((nbody, nv), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),            # maskd
+            pl.BlockSpec((nM, LANE), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),            # ld
+            vec(), vec(), vec(),                              # dinv qs qvel
+            rvec(), rvec(), rvec(),                           # k b posr
+            rvec(), rvec(),                                   # rreg act
+            pl.BlockSpec((max(kc, 1), LANE), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),            # mu
+            rvec(), rvec(),                                   # f0 v0
+        ],
+        out_specs=(
+            rvec(),
+            rvec(),
+            pl.BlockSpec((nv, LANE), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((nv, LANE), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((R, Bp), d6.dtype),
+            jax.ShapeDtypeStruct((R, Bp), d6.dtype),
+            jax.ShapeDtypeStruct((nv, Bp), d6.dtype),
+            jax.ShapeDtypeStruct((nv, Bp), d6.dtype),
+        ),
+        scratch_shapes=[pltpu.VMEM((nv, R, LANE), d6.dtype)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(d6, u6, b1, b2, lim_sign, lim_dadr, maskd_a, ld, dinv,
+      qacc_smooth, qvel, kcoef, bcoef, posr, rreg, active,
+      jnp.broadcast_to(mu, (max(kc, 1), Bp)), f0, v0)
+    return f[:, :B], v[:, :B], qfrc[:, :B], dqacc[:, :B]

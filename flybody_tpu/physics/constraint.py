@@ -262,18 +262,23 @@ def make_efc(m: Model, d: Data, meta: EfcMeta | None = None):
 
 
 def solve(m: Model, d: Data, iterations: int | None = None,
-          efc=None) -> Data:
+          efc=None, fresh: bool = True) -> Data:
     """Constraint solve: qacc, qfrc_constraint from the smooth solution.
 
     ``efc`` may be a prebuilt (Limits, [ConGroup]) pair (forward() builds
-    it once per substep and shares it with adhesion transmission)."""
+    it once per substep and shares it with adhesion transmission).
+    ``fresh`` (static) is False on selection-persistent update substeps
+    (Model.col_refresh schedule): the fused solver then reuses the
+    stored row selection (Data.sol_lim_sel/sol_cone_sel) and raw warm
+    forces (Data.sol_f) instead of re-running top_k + sel matching."""
     meta = efc_meta(m)
     if len(meta.limit_ids) == 0 and m.ncon_max == 0 and m.nccd == 0:
         return d.replace(qacc=d.qacc_smooth,
                          qfrc_constraint=jnp.zeros_like(d.qvel))
     if m.opt.contact_solver == "fused":
         from flybody_tpu.physics import solver_fused
-        return solver_fused.solve_fused(m, d, iterations=iterations)
+        return solver_fused.solve_fused(m, d, iterations=iterations,
+                                        fresh=fresh)
     lim, groups = efc if efc is not None else make_efc(m, d, meta)
     # fixed iteration count (static shapes, no early exit on TPU); the
     # per-method defaults reflect measured warm-started convergence

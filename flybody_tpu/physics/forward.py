@@ -80,7 +80,7 @@ def forward(m: Model, d: Data, col_update: bool = False) -> Data:
     d = fwd_velocity(m, d)
     d = fwd_actuation(m, d)
     d = fwd_acceleration(m, d)
-    d = C.solve(m, d)
+    d = C.solve(m, d, fresh=not col_update)
     return d
 
 

@@ -555,6 +555,9 @@ def make_data(model: Model, B: int = 1, dtype=None) -> Data:
         warm_lim=z(_nlimit(model)),
         qLDh=z(model.tree.nM), qLDiagInvh=z(nv),
         apgd_v=jnp.ones((_fused_r(model), B), dtype=dtype),
+        sol_lim_sel=jnp.zeros((_fused_sel_dims(model)[0], B), jnp.int32),
+        sol_cone_sel=jnp.zeros((_fused_sel_dims(model)[1], B), jnp.int32),
+        sol_f=z(_fused_r(model)),
         ccd_warm_id=jnp.full((model.ccd_budget, B), -1, jnp.int32),
         ccd_warm_u=z(model.ccd_budget, 3),
         ccd_lane_tab=z(model.ccd_budget, 25),
@@ -579,6 +582,16 @@ def _fused_r(model: Model) -> int:
     from flybody_tpu.physics import constraint as C
     from flybody_tpu.physics import solver_fused as SF
     return SF.fused_layout(model, C.efc_meta(model))["R"]
+
+
+def _fused_sel_dims(model: Model) -> tuple[int, int]:
+    """(n_lim, k_cone) of the fused solver's row selection (0, 0 off)."""
+    if model.opt.contact_solver != "fused":
+        return 0, 0
+    from flybody_tpu.physics import constraint as C
+    from flybody_tpu.physics import solver_fused as SF
+    lay = SF.fused_layout(model, C.efc_meta(model))
+    return lay["n_lim"], lay["k_cone"]
 
 
 def unbatch(x):

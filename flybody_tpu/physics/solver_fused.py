@@ -20,15 +20,20 @@ light:
    (K, dim, nv, B) Jacobians of the reference path are never
    materialized.
 
-3. Yd = D^{-1/2} L^{-T} Jt and the dual rhs in ONE Pallas kernel
-   (ops/solver_kernels.upsolve_yd); the APGD loop (+ noslip pass) runs
-   entirely in VMEM (ops/solver_kernels.apgd_iterate). The dual matrix
-   A = J M^-1 J^T = Yd^T Yd is never formed; per-substep HBM traffic is
-   ~4 reads of an (nv, R, B) array instead of 2 per iteration.
+3. The ENTIRE dual solve is ONE Pallas kernel
+   (ops/solver_kernels.solve_rows): J build from the compact row form,
+   the triangular up-solve Yd = D^{-1/2} L^{-T} Jt, the APGD loop
+   (+ noslip pass), and the two output tree sweeps
+   (qfrc_constraint = L^T D^{1/2} ystar, dqacc = L^{-1} D^{-1/2} ystar)
+   all run with Yd resident in VMEM scratch. The dual matrix
+   A = J M^-1 J^T = Yd^T Yd is never formed, and the (nv, R, B) Yd
+   tensor (~260 MB/substep at B=4096) never touches HBM — the earlier
+   two-kernel path wrote and re-read it once per substep.
 
-4. qfrc_constraint = L^T D^{1/2} (Yd f) and qacc = qacc_smooth +
-   L^{-1} D^{-1/2} (Yd f) reuse the kernel's ystar output — one sparse
-   triangular sweep each, no extra J pass.
+4. Within a col_refresh window (fresh=False) the solver's row selection
+   persists (Data.sol_lim_sel / sol_cone_sel) and APGD warm-starts from
+   the raw previous-substep forces (Data.sol_f): no per-substep top_k,
+   no warm-start sel-matching einsums, 2 power iterations instead of 3.
 
 Reference semantics: MuJoCo soft-constraint model (same as solver.py /
 solver_dense.py; reference model at vnl_ray fruitfly.xml defaults).
@@ -43,7 +48,6 @@ import jax.numpy as jnp
 
 from flybody_tpu.math import bquat as bq
 from flybody_tpu.ops import solver_kernels as SK
-from flybody_tpu.ops import tree_ldl as TL
 from flybody_tpu.physics.types import Data, Model
 
 
@@ -101,12 +105,23 @@ def _mdiff(m: Model, b1, b2, dtype):
 
 
 def solve_fused(m: Model, d: Data, iterations: int | None = None,
-                _stage: str = "full") -> Data:
+                _stage: str = "full", fresh: bool = True) -> Data:
     """Drop-in replacement for constraint.solve (contact_solver='fused').
 
     ``_stage`` is a profiling knob (tools/profile_fused.py): "assembly"
     stops after row assembly, "yd" after the upsolve kernel, "apgd"
-    after the iteration kernel; "full" (default) is production."""
+    after the iteration kernel; "full" (default) is production.
+
+    ``fresh`` (static) is False on selection-persistent update substeps
+    (Model.col_refresh block schedule, envs/core.py): the contact lane
+    set is unchanged since the previous substep, so the solver's own
+    row selection persists too — limit/cone top_k is skipped (stored
+    indices Data.sol_lim_sel / sol_cone_sel are reused; rankings lag by
+    at most col_refresh-1 substeps, the same persistence assumption as
+    the lane set itself, while row ACTIVITY is still evaluated at the
+    current state), APGD warm-starts from the raw previous forces
+    Data.sol_f (row order is unchanged — no sel-matching einsums), and
+    the warm Lipschitz power iteration drops to 2 iterations."""
     from flybody_tpu.physics import constraint as C
 
     meta = C.efc_meta(m)
@@ -144,14 +159,19 @@ def solve_fused(m: Model, d: Data, iterations: int | None = None,
     # ---- limit rows (top-n_lim by margin-adjusted distance) ----------
     lim = C._limit_rows(m, d, meta)
     oh_lim = None
+    idx_lim = None
     if n_lim:
         nl = lim.sign.shape[0]
         if n_lim < nl:
-            _, top = jax.lax.top_k(-lim.pos.T, n_lim)      # (B, n_lim)
-            idx = top.T
+            if fresh or d.sol_lim_sel.shape[0] != n_lim:
+                _, top = jax.lax.top_k(-lim.pos.T, n_lim)  # (B, n_lim)
+                idx = top.T
+            else:
+                idx = d.sol_lim_sel
         else:
             idx = jnp.broadcast_to(
                 jnp.arange(nl, dtype=jnp.int32)[:, None], (nl, B))
+        idx_lim = idx
         oh_lim = (idx[:, None, :] == jnp.arange(nl)[None, :, None]
                   ).astype(dtype)                          # (n_lim, nl, B)
         dadr = jnp.asarray(np.asarray(lim.dadr), jnp.int32)
@@ -220,13 +240,18 @@ def solve_fused(m: Model, d: Data, iterations: int | None = None,
     # ---- cone selection (top-k_cone by effective penetration) --------
     mu_sel = jnp.zeros((max(kc, 1), B), dtype)
     sel_cone = None
+    idx_cone = None
     if kc:
         rng = lay["cone"]
         s_cone = lay["s_cone"]
         eff = con_slice(rng, con.dist) - con_slice(rng, con.margin)
         if k_cone < s_cone:
-            _, top = jax.lax.top_k(-eff.T, k_cone)
-            idx = top.T                                    # (k_cone, B)
+            if fresh or d.sol_cone_sel.shape[0] != k_cone:
+                _, top = jax.lax.top_k(-eff.T, k_cone)
+                idx = top.T                                # (k_cone, B)
+            else:
+                idx = d.sol_cone_sel
+            idx_cone = idx
             oh = (idx[:, None, :]
                   == jnp.arange(s_cone)[None, :, None]).astype(dtype)
             payload = jnp.concatenate([
@@ -298,61 +323,65 @@ def solve_fused(m: Model, d: Data, iterations: int | None = None,
     active = jnp.concatenate(act_rows, axis=0)
 
     # ---- warm start ---------------------------------------------------
-    f0_parts = []
-    if n_lim:
-        f0_parts.append(sel_l8[:, 7])
     k_warm = k1 + kc
-    if k1:
-        hit = (sel_c1[:, None, :] == d.warm_sel[None, :k_warm, :]
-               ).astype(dtype)
-        f0_parts.append(jnp.einsum("kjB,jB->kB", hit,
-                                   d.warm_f[:k_warm, 0].astype(dtype)))
-    if pad_nn:
-        f0_parts.append(jnp.zeros((pad_nn, B), dtype))
-    if kc:
-        hit = (sel_cone[:, None, :] == d.warm_sel[None, :k_warm, :]
-               ).astype(dtype)
-        fprev = jnp.einsum("kjB,jdB->kdB", hit,
-                           d.warm_f[:k_warm].astype(dtype))
-        f0_parts += [fprev[:, 0], fprev[:, 1], fprev[:, 2]]
-    f0 = jnp.concatenate(f0_parts, axis=0)
+    if not fresh and d.sol_f.shape[0] == R:
+        # row order unchanged within the refresh window: the previous
+        # substep's raw forces ARE this substep's warm start
+        f0 = d.sol_f.astype(dtype)
+    else:
+        f0_parts = []
+        if n_lim:
+            f0_parts.append(sel_l8[:, 7])
+        if k1:
+            hit = (sel_c1[:, None, :] == d.warm_sel[None, :k_warm, :]
+                   ).astype(dtype)
+            f0_parts.append(jnp.einsum("kjB,jB->kB", hit,
+                                       d.warm_f[:k_warm, 0].astype(dtype)))
+        if pad_nn:
+            f0_parts.append(jnp.zeros((pad_nn, B), dtype))
+        if kc:
+            hit = (sel_cone[:, None, :] == d.warm_sel[None, :k_warm, :]
+                   ).astype(dtype)
+            fprev = jnp.einsum("kjB,jdB->kdB", hit,
+                               d.warm_f[:k_warm].astype(dtype))
+            f0_parts += [fprev[:, 0], fprev[:, 1], fprev[:, 2]]
+        f0 = jnp.concatenate(f0_parts, axis=0)
 
     # ---- kernels -------------------------------------------------------
     if _stage == "assembly":
         probe = (jnp.sum(u6_all, axis=(0, 1)) + jnp.sum(kcoef, axis=0)
                  + jnp.sum(f0, axis=0) + jnp.sum(active, axis=0))
         return d.replace(qacc=d.qacc_smooth + 0.0 * probe[None, :])
-    use_ref = jax.default_backend() != "tpu"
     maskd = np.asarray(m.body_dof_mask).astype(np.float32)
-    yd, bvec = SK.upsolve_build_yd(
-        m.tree, D6, u6_all, b1_all, b2_all, ls_all, la_all, maskd,
-        d.qLD, d.qLDiagInv, d.qacc_smooth, d.qvel, kcoef, bcoef, posr)
-
-    if _stage == "yd":
-        probe = jnp.sum(yd, axis=(0, 1)) + jnp.sum(bvec, axis=0)
-        return d.replace(qacc=d.qacc_smooth + 0.0 * probe[None, :])
     # warm Lipschitz: previous substep's power vector (Data.apgd_v) lets
-    # 2 warm power iterations replace 4 cold ones (~4 fewer VMEM passes
+    # 2-3 warm power iterations replace 4 cold ones (~fewer VMEM passes
     # over Yd per substep)
     warm_v = d.apgd_v.astype(dtype) if d.apgd_v.shape[0] == R else None
     kw = dict(kl=kl, kc=kc, iterations=int(niter),
               noslip_iterations=int(m.opt.noslip_iterations),
-              power_iters=3 if warm_v is not None else 4)
-    if use_ref:
-        f, ystar, v_new = SK.apgd_iterate_reference(
-            yd, bvec, rreg, active, mu_sel, f0, warm_v, **kw)
-    else:
-        f, ystar, v_new = SK.apgd_iterate(yd, bvec, rreg, active, mu_sel,
-                                          f0, warm_v, **kw)
-
-    # ---- qfrc / qacc from ystar ---------------------------------------
-    if _stage == "apgd":
+              power_iters=(4 if warm_v is None else (3 if fresh else 2)))
+    if _stage in ("yd", "apgd"):
+        # two-kernel profiling path (tools/profile_fused.py stage split)
+        use_ref = jax.default_backend() != "tpu"
+        yd, bvec = SK.upsolve_build_yd(
+            m.tree, D6, u6_all, b1_all, b2_all, ls_all, la_all, maskd,
+            d.qLD, d.qLDiagInv, d.qacc_smooth, d.qvel, kcoef, bcoef, posr)
+        if _stage == "yd":
+            probe = jnp.sum(yd, axis=(0, 1)) + jnp.sum(bvec, axis=0)
+            return d.replace(qacc=d.qacc_smooth + 0.0 * probe[None, :])
+        apgd = (SK.apgd_iterate_reference if use_ref else SK.apgd_iterate)
+        f, ystar, v_new = apgd(yd, bvec, rreg, active, mu_sel, f0,
+                               warm_v, **kw)
         probe = jnp.sum(f, axis=0) + jnp.sum(ystar, axis=0)
         return d.replace(qacc=d.qacc_smooth + 0.0 * probe[None, :])
-    sqrt_d = 1.0 / jnp.sqrt(jnp.maximum(d.qLDiagInv, 1e-30))
-    qfrc = TL.mul_lt(m.tree, d.qLD, ystar * sqrt_d)
-    qacc = d.qacc_smooth + TL.solve_down(
-        m.tree, d.qLD, ystar * jnp.sqrt(d.qLDiagInv))
+
+    # ---- production: ONE kernel (build + up-solve + APGD + output
+    # sweeps, Yd never leaves VMEM) --------------------------------------
+    f, v_new, qfrc, dqacc = SK.solve_rows(
+        m.tree, D6, u6_all, b1_all, b2_all, ls_all, la_all, maskd,
+        d.qLD, d.qLDiagInv, d.qacc_smooth, d.qvel, kcoef, bcoef, posr,
+        rreg, active, mu_sel, f0, warm_v, **kw)
+    qacc = d.qacc_smooth + dqacc
 
     ok = jnp.all(jnp.isfinite(qacc), axis=0)
     qacc = jnp.where(ok, qacc, d.qacc_smooth)
@@ -388,6 +417,20 @@ def solve_fused(m: Model, d: Data, iterations: int | None = None,
         warm_lim = d.warm_lim
     apgd_v = (v_new.astype(d.apgd_v.dtype)
               if d.apgd_v.shape[0] == R else d.apgd_v)
+    # persist the row selection + raw forces for the window's update
+    # substeps (consumed when fresh=False)
+    if (idx_lim is None
+            or idx_lim.shape[0] != d.sol_lim_sel.shape[0]):
+        idx_lim = d.sol_lim_sel
+    if idx_cone is None or idx_cone.shape[0] != d.sol_cone_sel.shape[0]:
+        idx_cone = (jnp.broadcast_to(
+            jnp.arange(k_cone, dtype=jnp.int32)[:, None], (k_cone, B))
+            if kc and d.sol_cone_sel.shape[0] == k_cone
+            else d.sol_cone_sel)
+    sol_f = ((f * ok).astype(d.sol_f.dtype)
+             if d.sol_f.shape[0] == R else d.sol_f)
     return d.replace(qacc=qacc, qfrc_constraint=qfrc,
                      warm_sel=warm_sel.astype(jnp.int32), warm_f=warm_f,
-                     warm_lim=warm_lim, apgd_v=apgd_v)
+                     warm_lim=warm_lim, apgd_v=apgd_v,
+                     sol_lim_sel=idx_lim.astype(jnp.int32),
+                     sol_cone_sel=idx_cone.astype(jnp.int32), sol_f=sol_f)

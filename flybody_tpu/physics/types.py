@@ -451,6 +451,17 @@ class Data:
     # STATE_FIELDS): stale values after an auto-reset only seed the next
     # power iteration.
     apgd_v: jax.Array         # (R_fused, B)
+    # within-window solver-row-selection persistence (Model.col_refresh
+    # schedule): the fused solver's limit/cone top-k selections and raw
+    # row forces from the previous substep. On update substeps
+    # (fresh=False in constraint.solve) the solver reuses the stored
+    # selection instead of re-running top_k, and warm-starts APGD from
+    # sol_f directly (row order is unchanged within a window) instead of
+    # the sel-matching einsums. Derived state (rebuilt at every
+    # selection-refresh substep).
+    sol_lim_sel: jax.Array    # (n_lim_fused, B) int32
+    sol_cone_sel: jax.Array   # (k_cone_fused, B) int32
+    sol_f: jax.Array          # (R_fused, B)
     # ccd narrowphase warm start: previous substep's selected lane ids
     # (global slot ids, as in contact.sel) and converged support
     # directions; lanes with |u| ~ 0 reseed from the center line.

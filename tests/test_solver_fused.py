@@ -205,3 +205,43 @@ def test_kernels_match_references_interpret():
                                rtol=1e-4, atol=1e-4)
     np.testing.assert_allclose(np.asarray(v_k), np.asarray(v_r),
                                rtol=1e-4, atol=1e-4)
+
+
+def test_fused_selection_persistence_matches_fresh():
+    """fresh=False (selection-persistent update substeps, envs/core.py
+    col_refresh schedule) reuses the stored row selection + raw forces:
+    at the SAME state it must reproduce the fresh solve's qacc nearly
+    exactly (identical selected rows, warm start at the solution)."""
+    fused, d = _fly_model_and_state(contact_solver="fused")
+
+    dd = F.fwd_position(fused, d)
+    dd = F.fwd_velocity(fused, dd)
+    dd = F.fwd_actuation(fused, dd)
+    dd = F.fwd_acceleration(fused, dd)
+
+    s1 = CN.solve(fused, dd, fresh=True)
+    # carry the persisted selection + forces into a second solve at the
+    # same state
+    dd2 = dd.replace(sol_lim_sel=s1.sol_lim_sel,
+                     sol_cone_sel=s1.sol_cone_sel, sol_f=s1.sol_f,
+                     warm_sel=s1.warm_sel, warm_f=s1.warm_f,
+                     warm_lim=s1.warm_lim, apgd_v=s1.apgd_v)
+    s2 = CN.solve(fused, dd2, fresh=False)
+    # identical selected rows (stored selection is what fresh recomputes)
+    assert (np.asarray(s1.sol_lim_sel) == np.asarray(s2.sol_lim_sel)).all()
+    assert (np.asarray(s1.sol_cone_sel) == np.asarray(s2.sol_cone_sel)).all()
+    # warm-started at s1's solution, s2 must be at least as close to the
+    # converged dual solution as s1 (persistence adds effective
+    # iterations, never loses accuracy at an unchanged state)
+    qref = np.asarray(CN.solve(fused, dd, iterations=400).qacc)
+
+    def rel(a, b):
+        return (np.linalg.norm(np.asarray(a) - b) / np.linalg.norm(b))
+
+    assert rel(s2.qacc, qref) <= rel(s1.qacc, qref) * 1.05, (
+        rel(s2.qacc, qref), rel(s1.qacc, qref))
+
+    # the fresh solve at the next state must also accept the carried
+    # fields (cross-window path) without shape errors
+    d3 = F.step(fused, s2.replace(qacc=s2.qacc), col_update=False)
+    assert np.all(np.isfinite(np.asarray(d3.qpos)))
